@@ -1,0 +1,104 @@
+"""Layered YAML/JSON config loading with `base_configs` inheritance.
+
+Reproduces the semantics of the reference config system
+(`/root/reference/conf/conf_parser.py:109-137` and
+`/root/reference/data/data_utils.py:99-124`):
+
+- a config file may list ``base_configs`` (str or list of str); relative paths
+  resolve against the directory of the *including* file;
+- bases are merged recursively; **later bases take precedence over earlier
+  bases**, and the leaf config always wins;
+- the merge is a deep merge: dict values merge key-wise, any non-dict value
+  (including lists) is replaced wholesale by the higher-precedence side.
+"""
+from __future__ import annotations
+
+import copy
+import json
+import os
+from typing import Any
+
+import yaml
+
+
+def merge_dicts(first: dict, second: dict) -> dict:
+    """Deep-merge two dicts; on conflicts of non-dict values `second` wins."""
+    out: dict = {}
+    for k in first.keys() | second.keys():
+        if k in first and k in second:
+            if isinstance(first[k], dict) and isinstance(second[k], dict):
+                out[k] = merge_dicts(first[k], second[k])
+            else:
+                out[k] = copy.deepcopy(second[k])
+        elif k in first:
+            out[k] = copy.deepcopy(first[k])
+        else:
+            out[k] = copy.deepcopy(second[k])
+    return out
+
+
+def parse_conf_file(config_path: str) -> dict:
+    if not os.path.isfile(config_path):
+        raise FileNotFoundError(f'Configuration file "{config_path}" not found!')
+    _, ext = os.path.splitext(config_path)
+    with open(config_path, "r") as fh:
+        if ext in (".yml", ".yaml"):
+            return yaml.safe_load(fh) or {}
+        if ext == ".json":
+            return json.load(fh)
+    raise ValueError(f'Config files of type "{ext}" are not supported (.yml/.yaml/.json).')
+
+
+def extend_by_base_configs(config: dict, config_path: str | None = None) -> dict:
+    """Resolve and fold in the ``base_configs`` chain of `config`."""
+    all_base: dict = {}
+    base_paths = config.get("base_configs")
+    if base_paths:
+        if isinstance(base_paths, str):
+            base_paths = [base_paths]
+        for base_path in base_paths:
+            if not os.path.isabs(base_path) and config_path is not None:
+                base_path = os.path.join(os.path.dirname(config_path), base_path)
+            base = load_config_dict(base_path)
+            # later bases beat earlier bases
+            all_base = merge_dicts(all_base, base)
+    # the leaf config always wins
+    merged = merge_dicts(all_base, config)
+    merged.pop("base_configs", None)
+    return merged
+
+
+def load_config_dict(config_path: str, ignore_base_configs: bool = False) -> dict:
+    config = parse_conf_file(config_path)
+    if not ignore_base_configs:
+        config = extend_by_base_configs(config, config_path)
+    return config
+
+
+def update_nested_dict(d: dict, key: str, value: Any) -> None:
+    """Set ``d['a']['b']['c'] = value`` given key ``'a.b.c'``, creating levels."""
+    keys = key.split(".")
+    cur = d
+    for k in keys[:-1]:
+        cur = cur.setdefault(k, {})
+    cur[keys[-1]] = value
+
+
+def nested_dict_get(d: dict, key: str, default: Any = None) -> Any:
+    keys = key.split(".")
+    cur: Any = d
+    for k in keys[:-1]:
+        nxt = cur.get(k) if isinstance(cur, dict) else None
+        if not isinstance(nxt, dict):
+            return default
+        cur = nxt
+    return cur.get(keys[-1], default) if isinstance(cur, dict) else default
+
+
+def yaml_save(file_path: str, data: Any) -> None:
+    with open(file_path, "w") as fh:
+        yaml.safe_dump(data, fh)
+
+
+def save_config(conf_dir: str, conf: dict) -> None:
+    yaml_save(os.path.join(conf_dir, "conf.yml"), conf)

@@ -1,0 +1,222 @@
+"""Synthetic mini-datasets for tests and benchmarks.
+
+The reference verifies installs by running real models on ML-1M
+(`/root/reference/README.md:122-138`); since no datasets ship with either repo,
+tests here run on synthetic data that exercises the same artifact format —
+including cold-start splits and multi-modal features — and can optionally be
+written to disk in the reference's CSV/npz layout to test the artifact reader.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from sibrar_tpu.config.schema import DatasetSplitType, FeatureDefinition, FeatureType
+from sibrar_tpu.data.dataset import RecDataset
+from sibrar_tpu.data.feature import Feature
+
+
+def make_synthetic_splits(
+    n_users: int = 60,
+    n_items: int = 80,
+    n_interactions: int = 1500,
+    split_type: DatasetSplitType = DatasetSplitType.RANDOM,
+    seed: int = 0,
+    with_features: bool = True,
+    feature_dim: int = 12,
+    latent_dim: int = 6,
+) -> dict[str, RecDataset]:
+    """Generate train/val/test `RecDataset`s with planted low-rank structure.
+
+    Interactions are sampled from a ground-truth low-rank preference model so
+    that learned models can meaningfully beat random ranking in tests.
+    """
+    rng = np.random.default_rng(seed)
+    u_lat = rng.normal(size=(n_users, latent_dim)).astype(np.float32)
+    i_lat = rng.normal(size=(n_items, latent_dim)).astype(np.float32)
+    scores = u_lat @ i_lat.T + 0.5 * rng.normal(size=(n_users, n_items))
+
+    # draw unique (user, item) pairs biased toward high ground-truth score
+    flat_p = np.exp(scores.ravel() / 2.0)
+    flat_p /= flat_p.sum()
+    n_pairs = min(n_interactions, n_users * n_items // 2)
+    chosen = rng.choice(n_users * n_items, size=n_pairs, replace=False, p=flat_p)
+    users, items = np.divmod(chosen, n_items)
+    order = rng.permutation(n_pairs)
+    users, items = users[order], items[order]
+    inter = np.stack([users, items], axis=1).astype(np.int64)
+
+    if split_type == DatasetSplitType.RANDOM or split_type == DatasetSplitType.TEMPORAL:
+        # per-user ratio split like the reference's random/temporal splitters
+        tr, va, te = [], [], []
+        for u in range(n_users):
+            rows = inter[inter[:, 0] == u]
+            if len(rows) == 0:
+                continue
+            n = len(rows)
+            n_tr = max(int(n * 0.6), 1)
+            n_va = max(int(n * 0.2), 1) if n - n_tr >= 2 else max(n - n_tr - 1, 0)
+            tr.append(rows[:n_tr])
+            if n_va:
+                va.append(rows[n_tr:n_tr + n_va])
+            if n - n_tr - n_va > 0:
+                te.append(rows[n_tr + n_va:])
+        tr_i = np.concatenate(tr) if tr else np.zeros((0, 2), np.int64)
+        va_i = np.concatenate(va) if va else np.zeros((0, 2), np.int64)
+        te_i = np.concatenate(te) if te else np.zeros((0, 2), np.int64)
+    else:
+        # cold-start: split disjoint entity groups (reference
+        # data_preprocessing_utils.py:278-361 semantics — val/test entities unseen)
+        def cold_groups(n_entities):
+            perm = rng.permutation(n_entities)
+            n_tr = int(n_entities * 0.7)
+            n_va = int(n_entities * 0.15)
+            return (set(perm[:n_tr]), set(perm[n_tr:n_tr + n_va]),
+                    set(perm[n_tr + n_va:]))
+
+        cold_user = split_type in (DatasetSplitType.COLD_START_USER,
+                                   DatasetSplitType.COLD_START_BOTH)
+        cold_item = split_type in (DatasetSplitType.COLD_START_ITEM,
+                                   DatasetSplitType.COLD_START_BOTH)
+        u_tr, u_va, u_te = cold_groups(n_users) if cold_user else (None,) * 3
+        i_tr, i_va, i_te = cold_groups(n_items) if cold_item else (None,) * 3
+
+        def bucket(row):
+            u, i = row
+            if cold_user and cold_item:
+                if u in u_tr and i in i_tr:
+                    return "train"
+                if u in u_va and i in i_va:
+                    return "val"
+                if u in u_te and i in i_te:
+                    return "test"
+                return None
+            if cold_user:
+                return "train" if u in u_tr else ("val" if u in u_va else "test")
+            return "train" if i in i_tr else ("val" if i in i_va else "test")
+
+        buckets = {"train": [], "val": [], "test": []}
+        for row in inter:
+            b = bucket(row)
+            if b:
+                buckets[b].append(row)
+        tr_i = np.array(buckets["train"], np.int64).reshape(-1, 2)
+        va_i = np.array(buckets["val"], np.int64).reshape(-1, 2)
+        te_i = np.array(buckets["test"], np.int64).reshape(-1, 2)
+
+    user_features, item_features = {}, {}
+    if with_features:
+        # multi-modal item features correlated with the planted latents
+        proj_a = rng.normal(size=(latent_dim, feature_dim)).astype(np.float32)
+        proj_b = rng.normal(size=(latent_dim, feature_dim * 2)).astype(np.float32)
+        item_features["audio"] = Feature.build(
+            FeatureDefinition("audio", FeatureType.VECTOR),
+            (i_lat @ proj_a + 0.1 * rng.normal(size=(n_items, feature_dim))).astype(np.float32),
+            n_items,
+        )
+        item_features["text"] = Feature.build(
+            FeatureDefinition("text", FeatureType.VECTOR),
+            (i_lat @ proj_b + 0.1 * rng.normal(size=(n_items, feature_dim * 2))).astype(np.float32),
+            n_items,
+        )
+        genres = ["action", "comedy", "drama", "horror", "scifi"]
+        item_features["genres"] = Feature.build(
+            FeatureDefinition("genres", FeatureType.TAG),
+            ["|".join(rng.choice(genres, size=rng.integers(1, 4), replace=False))
+             for _ in range(n_items)],
+            n_items,
+        )
+        user_features["gender"] = Feature.build(
+            FeatureDefinition("gender", FeatureType.CATEGORICAL),
+            list(rng.choice(["m", "f", "x"], size=n_users)),
+            n_users,
+        )
+        uproj = rng.normal(size=(latent_dim, feature_dim)).astype(np.float32)
+        user_features["profile_vec"] = Feature.build(
+            FeatureDefinition("profile_vec", FeatureType.VECTOR),
+            (u_lat @ uproj).astype(np.float32),
+            n_users,
+        )
+
+    def mk(split, inter_s):
+        return RecDataset(
+            split_set=split,
+            n_users=n_users,
+            n_items=n_items,
+            interactions=inter_s,
+            train_interactions=tr_i,
+            val_interactions=va_i if split == "test" else None,
+            split_type=split_type,
+            user_features=dict(user_features),
+            item_features=dict(item_features),
+        )
+
+    return {"train": mk("train", tr_i), "val": mk("val", va_i), "test": mk("test", te_i)}
+
+
+def write_reference_artifacts(
+    out_dir: str,
+    splits: dict[str, RecDataset],
+    seed: int = 0,
+    split_type: Optional[DatasetSplitType] = None,
+) -> str:
+    """Write splits to disk in the reference's artifact layout
+    (`listening_history_{split}.csv`, `{entity}_features_{split}.csv`,
+    `{entity}_{split}_{feat}.npz`, `user_idxs.csv`, `item_idxs.csv`,
+    `used_config.yaml`) so the artifact reader can be tested end-to-end."""
+    import pandas as pd
+    import yaml
+
+    os.makedirs(out_dir, exist_ok=True)
+    any_split = next(iter(splits.values()))
+    pd.DataFrame({
+        "user": np.arange(any_split.n_users),
+        "user_idx": np.arange(any_split.n_users),
+    }).to_csv(os.path.join(out_dir, "user_idxs.csv"), index=False)
+    pd.DataFrame({
+        "item": np.arange(any_split.n_items),
+        "item_idx": np.arange(any_split.n_items),
+    }).to_csv(os.path.join(out_dir, "item_idxs.csv"), index=False)
+
+    st = split_type or any_split.split_type
+    if st.is_cold_start:
+        cold = st.value.replace("cold_start_", "")
+        used = {"split": {"split_type": "coldstart", "cold_start_type": cold}}
+    else:
+        used = {"split": {"split_type": st.value}}
+    with open(os.path.join(out_dir, "used_config.yaml"), "w") as fh:
+        yaml.safe_dump(used, fh)
+
+    for split, ds in splits.items():
+        pd.DataFrame(ds.interactions, columns=["user_idx", "item_idx"]).to_csv(
+            os.path.join(out_dir, f"listening_history_{split}.csv"), index=False)
+        for entity, feats, in_split, n_ent in (
+            ("user", ds.user_features, ds.users_in_split, ds.n_users),
+            ("item", ds.item_features, ds.items_in_split, ds.n_items),
+        ):
+            tab_cols = {}
+            for name, feat in feats.items():
+                if feat.type in (FeatureType.VECTOR, FeatureType.MATRIX):
+                    np.savez(
+                        os.path.join(out_dir, f"{entity}_{split}_{name}.npz"),
+                        indices=in_split,
+                        values=feat.table[in_split],
+                    )
+                elif feat.type == FeatureType.CATEGORICAL:
+                    inv = {v: k for k, v in feat.value_map.items()}
+                    tab_cols[name] = [inv[int(c)] for c in feat.table[in_split]]
+                elif feat.type == FeatureType.TAG:
+                    inv = {v: k for k, v in feat.value_map.items()}
+                    tab_cols[name] = [
+                        "|".join(inv[int(t)] for t in row if t != feat.padding_idx)
+                        for row in feat.table[in_split]
+                    ]
+                else:
+                    tab_cols[name] = feat.table[in_split].tolist()
+            if tab_cols:
+                df = pd.DataFrame({f"{entity}_idx": in_split, **tab_cols})
+                df.to_csv(
+                    os.path.join(out_dir, f"{entity}_features_{split}.csv"), index=False)
+    return out_dir

@@ -1,0 +1,150 @@
+"""Device-side CSR utilities.
+
+The reference does all sparse work on host with scipy (row slicing + `.toarray()`
+per batch, e.g. `/root/reference/data/dataset.py:306-319` and the eval exclude-mask
+densification at `/root/reference/eval/eval.py:219`). Here the CSR arrays live on
+device and the three hot primitives — dense-row materialization, membership test,
+and exclusion-aware sampling support — are jit-compatible vectorized ops with
+static shapes, so they fuse into the surrounding train/eval steps.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@flax.struct.dataclass
+class DeviceCSR:
+    """A CSR matrix resident on device. Rows with no entries have start==end.
+
+    The shape metadata is static (non-pytree) so jitted consumers can use it
+    for shapes and loop bounds.
+    """
+
+    indptr: jax.Array  # [n_rows + 1] int32
+    indices: jax.Array  # [nnz] int32, sorted within each row
+    n_rows: int = flax.struct.field(pytree_node=False)
+    n_cols: int = flax.struct.field(pytree_node=False)
+    max_row_len: int = flax.struct.field(pytree_node=False)
+
+    @staticmethod
+    def from_scipy(mat) -> "DeviceCSR":
+        csr = mat.tocsr()
+        csr.sort_indices()
+        row_lens = np.diff(csr.indptr)
+        return DeviceCSR(
+            indptr=jnp.asarray(csr.indptr, dtype=jnp.int32),
+            indices=jnp.asarray(csr.indices, dtype=jnp.int32),
+            n_rows=csr.shape[0],
+            n_cols=csr.shape[1],
+            max_row_len=int(row_lens.max()) if len(row_lens) else 0,
+        )
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indices.shape[0])
+
+
+def csr_row_gather(csr: DeviceCSR, rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Gather the (padded) column indices of `rows`.
+
+    Returns ``(cols[B..., max_row_len] int32, mask[B..., max_row_len] bool)``;
+    padded positions have mask False and column value 0 (clamped).
+    """
+    starts = csr.indptr[rows]  # [...]
+    ends = csr.indptr[rows + 1]
+    offs = jnp.arange(max(csr.max_row_len, 1), dtype=jnp.int32)  # [L]
+    pos = starts[..., None] + offs  # [..., L]
+    mask = pos < ends[..., None]
+    pos = jnp.minimum(pos, max(csr.nnz - 1, 0))
+    cols = csr.indices[pos]
+    return jnp.where(mask, cols, 0), mask
+
+
+def csr_rows_to_dense(
+    csr: DeviceCSR, rows: jax.Array, dtype=jnp.float32
+) -> jax.Array:
+    """Materialize dense 0/1 rows ``[..., n_cols]`` for a batch of row ids.
+
+    TPU-friendly replacement for scipy ``matrix[rows].toarray()``: one gather of
+    the batch's column lists followed by a batched scatter, touching only the
+    nnz of the requested rows.
+    """
+    cols, mask = csr_row_gather(csr, rows)  # [..., L]
+    batch_shape = cols.shape[:-1]
+    flat_cols = cols.reshape(-1, cols.shape[-1])
+    flat_mask = mask.reshape(-1, mask.shape[-1])
+    out = jnp.zeros((flat_cols.shape[0], csr.n_cols), dtype=dtype)
+    vals = flat_mask.astype(dtype)
+    out = jax.vmap(lambda o, c, v: o.at[c].max(v))(out, flat_cols, vals)
+    return out.reshape(*batch_shape, csr.n_cols)
+
+
+def _searchsorted_segment(
+    sorted_flat: jax.Array, starts: jax.Array, ends: jax.Array, queries: jax.Array,
+    n_iters: int,
+) -> jax.Array:
+    """Vectorized binary search of `queries[i]` within `sorted_flat[starts[i]:ends[i]]`.
+
+    Returns the insertion position (left) within the segment, as an absolute index
+    into `sorted_flat`. Runs a fixed `n_iters` of bisection so it stays jit-static.
+    """
+    lo = starts
+    hi = ends
+    cap = jnp.maximum(sorted_flat.shape[0] - 1, 0)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        mid_val = sorted_flat[jnp.minimum(mid, cap)]
+        go_right = mid_val < queries
+        new_lo = jnp.where(go_right, mid + 1, lo)
+        new_hi = jnp.where(go_right, hi, mid)
+        keep = lo < hi
+        return jnp.where(keep, new_lo, lo), jnp.where(keep, new_hi, hi)
+
+    lo, hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+    return lo
+
+
+def csr_contains(csr: DeviceCSR, rows: jax.Array, cols: jax.Array) -> jax.Array:
+    """Membership test: is (rows[i], cols[i]) a stored entry? Broadcasts over any shape.
+
+    Implements the host-side ``searchsorted`` exclusion check of the reference
+    sampler (`/root/reference/data/sampling.py:7-32`) as a fixed-iteration
+    on-device bisection over the row segment of the flat CSR indices.
+    """
+    rows = jnp.asarray(rows)
+    cols = jnp.asarray(cols)
+    rows_b, cols_b = jnp.broadcast_arrays(rows, cols)
+    shape = rows_b.shape
+    rflat = rows_b.reshape(-1)
+    cflat = cols_b.reshape(-1)
+    starts = csr.indptr[rflat]
+    ends = csr.indptr[rflat + 1]
+    n_iters = max(int(np.ceil(np.log2(max(csr.max_row_len, 1) + 1))) + 1, 1)
+    pos = _searchsorted_segment(csr.indices, starts, ends, cflat, n_iters)
+    cap = max(csr.nnz - 1, 0)
+    found = (pos < ends) & (csr.indices[jnp.minimum(pos, cap)] == cflat)
+    return found.reshape(shape)
+
+
+@partial(jax.jit, static_argnames=("n_cols", "fill"))
+def scatter_fill_rows(
+    scores: jax.Array, cols: jax.Array, mask: jax.Array, *, n_cols: int,
+    fill: float = -jnp.inf,
+) -> jax.Array:
+    """Set ``scores[b, cols[b, j]] = fill`` where ``mask[b, j]``.
+
+    Used to exclude already-interacted items from full-catalog ranking — the
+    on-device equivalent of the reference's per-batch CSR densification
+    (`/root/reference/eval/eval.py:219-220`).
+    """
+    del n_cols
+    safe_cols = jnp.where(mask, cols, 0)
+    fill_vals = jnp.where(mask, fill, 0.0).astype(scores.dtype)
+    return jax.vmap(lambda s, c, v: s.at[c].add(v))(scores, safe_cols, fill_vals)
