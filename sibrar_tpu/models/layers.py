@@ -1,0 +1,304 @@
+"""Shared neural building blocks (flax.linen).
+
+Parity targets:
+- `PolyLinear` — the reference's configurable MLP builder
+  (`/root/reference/modules/polylinear.py:17-77`): layer sizes, activation map
+  {relu, tanh, sigmoid, selu}, optional output activation, input dropout,
+  batch-norm every N layers / only-last (-1), optional L1 penalty on weights
+  (reference wraps layers in torchlayers L1; here the penalty is sown as an aux
+  loss the trainer adds to the objective).
+- `FeatureEmbeddingModule` — the reference's per-feature embedding
+  (`/root/reference/algorithms/sgd_alg.py:1279-1396`): nn.Embedding for
+  categoricals, masked-mean EmbeddingBag-with-padding for tags, PolyLinear
+  pre/post projections for vector/continuous features.
+- weight init — Kaiming-uniform(relu) Linear with zero bias, N(0, 0.1/dim)
+  embeddings (`/root/reference/train/utils.py:5-13`).
+
+TPU-first notes: feature tables live in a non-trainable `tables` variable
+collection so they ride along in the jitted step without being baked into the
+program as constants; tag reduction is a masked matmul-free segment mean on the
+VPU; all shapes are static.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ACTIVATION_FN_MAP: dict[str, Callable] = {
+    "relu": nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": nn.sigmoid,
+    "selu": nn.selu,
+}
+
+
+def get_activation_fn(activation_fn):
+    if activation_fn is None:
+        return None
+    if isinstance(activation_fn, str):
+        return ACTIVATION_FN_MAP[activation_fn]
+    return activation_fn
+
+
+def kaiming_uniform_relu(key, shape, dtype=jnp.float32):
+    """torch kaiming_uniform_(nonlinearity='relu'): U(-b, b), b = sqrt(6/fan_in)."""
+    fan_in = shape[0]
+    bound = np.sqrt(6.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def embedding_init(key, shape, dtype=jnp.float32):
+    """N(0, 0.1/dim) per the reference's embedding init."""
+    return 0.1 / shape[-1] * jax.random.normal(key, shape, dtype)
+
+
+class Embedding(nn.Module):
+    """nn.Embed with the reference's N(0, .1/dim) initialization."""
+
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, idxs):
+        table = self.param(
+            "embedding", embedding_init, (self.num_embeddings, self.features))
+        return jnp.take(table, idxs, axis=0)
+
+
+class Dense(nn.Module):
+    """Linear layer with the reference's init (kaiming-uniform W, zero bias)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kernel = self.param("kernel", kaiming_uniform_relu, (in_dim, self.features))
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class PolyLinear(nn.Module):
+    """Configurable MLP; mirrors reference PolyLinear semantics.
+
+    `layer_config=[100, 50, 2]` → Dense(100→50), act, Dense(50→2); activation
+    only between layers; `output_fn` applied at the end if set; batch-norm
+    (before the activation) every `apply_batch_norm_every` layers, or after the
+    last layer when -1.
+    """
+
+    layer_config: Sequence[int]
+    activation_fn: str | Callable = "relu"
+    output_fn: str | Callable | None = "relu"
+    input_dropout: Optional[float] = None
+    apply_batch_norm_every: int = 0
+    l1_weight_decay: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert len(self.layer_config) > 1, "need at least in and out dims"
+        act = get_activation_fn(self.activation_fn)
+        out_fn = get_activation_fn(self.output_fn)
+        n_layers = len(self.layer_config) - 1
+
+        if self.input_dropout is not None:
+            x = nn.Dropout(rate=self.input_dropout, deterministic=not train)(x)
+
+        l1_penalty = 0.0
+        for i, d2 in enumerate(self.layer_config[1:]):
+            layer = Dense(features=d2, name=f"linear_{i}")
+            x = layer(x)
+            if self.l1_weight_decay and self.l1_weight_decay > 0.0:
+                kernel = layer.variables["params"]["kernel"]
+                l1_penalty = l1_penalty + self.l1_weight_decay * jnp.abs(kernel).sum()
+            if self.apply_batch_norm_every > 0 and (i + 1) % self.apply_batch_norm_every == 0:
+                x = nn.BatchNorm(
+                    use_running_average=not train, name=f"batch_norm_{i}",
+                    momentum=0.9, epsilon=1e-5,
+                )(x)
+            if i < n_layers - 1:
+                x = act(x)
+
+        if self.apply_batch_norm_every == -1:
+            x = nn.BatchNorm(
+                use_running_average=not train, name="batch_norm",
+                momentum=0.9, epsilon=1e-5,
+            )(x)
+        if out_fn is not None:
+            x = out_fn(x)
+        if self.l1_weight_decay and self.l1_weight_decay > 0.0:
+            self.sow("losses", "l1_penalty", l1_penalty)
+        return x
+
+
+class TagEmbeddingBag(nn.Module):
+    """Masked-mean embedding of padded tag id rows.
+
+    Equivalent of torch ``nn.EmbeddingBag(n_tags + 1, d, padding_idx=-1)`` with
+    the default 'mean' mode: padded slots are excluded from both sum and count.
+    """
+
+    n_tags: int
+    features: int
+
+    @nn.compact
+    def __call__(self, padded_tags):  # [..., width] int ids; pad id == n_tags
+        table = self.param("embedding", embedding_init, (self.n_tags, self.features))
+        mask = (padded_tags < self.n_tags)[..., None]  # [..., width, 1]
+        safe = jnp.minimum(padded_tags, self.n_tags - 1)
+        emb = jnp.take(table, safe, axis=0)  # [..., width, d]
+        summed = jnp.where(mask, emb, 0.0).sum(axis=-2)
+        count = jnp.maximum(mask.sum(axis=-2), 1)
+        return summed / count
+
+
+class FeatureEmbeddingModule(nn.Module):
+    """Embed one feature, reading its dense table from the `tables` collection.
+
+    Static spec fields describe the feature; the table itself is a non-trainable
+    variable initialized from the host-side `Feature.table`.
+    """
+
+    feature_name: str
+    feature_kind: str  # 'categorical' | 'tag' | 'numeric' (vector/continuous/...)
+    table_shape: tuple  # shape of the dense table
+    table_dtype: str
+    n_categories: int = 0  # for categorical/tag
+    embedding_dim: Optional[int] = None
+    pre_embedding_layers: Optional[Sequence[int]] = None
+    post_embedding_layers: Optional[Sequence[int]] = None
+    activation_fn: str = "relu"
+
+    @property
+    def output_dim(self) -> int:
+        if self.feature_kind in ("categorical", "tag"):
+            out = self.embedding_dim
+            if self.post_embedding_layers:
+                out = self.post_embedding_layers[-1]
+            return out
+        width = int(np.prod(self.table_shape[1:])) if len(self.table_shape) > 1 else 1
+        out = width
+        if self.pre_embedding_layers:
+            out = self.pre_embedding_layers[-1]
+        if self.embedding_dim is not None:
+            out = self.embedding_dim
+        if self.post_embedding_layers:
+            out = self.post_embedding_layers[-1]
+        return out
+
+    @nn.compact
+    def __call__(self, idxs, train: bool = False):
+        table_var = self.variable(
+            "tables", self.feature_name,
+            lambda: jnp.zeros(self.table_shape, dtype=self.table_dtype))
+        raw = jnp.take(table_var.value, idxs, axis=0)  # [..., feature dims]
+
+        if self.feature_kind == "categorical":
+            if self.embedding_dim is None:
+                raise ValueError(
+                    f"categorical feature {self.feature_name!r} needs embedding_dim")
+            x = Embedding(self.n_categories, self.embedding_dim, name="embedding")(raw)
+        elif self.feature_kind == "tag":
+            if self.embedding_dim is None:
+                raise ValueError(f"tag feature {self.feature_name!r} needs embedding_dim")
+            x = TagEmbeddingBag(self.n_categories, self.embedding_dim, name="embedding")(raw)
+        else:
+            x = raw.astype(jnp.float32)
+            if x.shape == idxs.shape:  # scalar features -> width-1 vectors
+                x = x[..., None]
+            if len(self.table_shape) > 2:  # matrix features -> flattened rows
+                x = x.reshape(x.shape[: idxs.ndim] + (-1,))
+            width = x.shape[-1]
+            cfg = [width]
+            if self.pre_embedding_layers:
+                cfg.extend(self.pre_embedding_layers)
+            if self.embedding_dim is not None:
+                cfg.append(self.embedding_dim)
+            if len(cfg) > 1:
+                x = PolyLinear(
+                    cfg, activation_fn=self.activation_fn,
+                    output_fn=self.activation_fn, name="pre_embedding",
+                )(x, train=train)
+
+        if self.post_embedding_layers:
+            x = PolyLinear(
+                [x.shape[-1], *self.post_embedding_layers],
+                activation_fn=self.activation_fn, output_fn=self.activation_fn,
+                name="post_embedding",
+            )(x, train=train)
+        return x
+
+
+class InteractionVectorModule(nn.Module):
+    """Materialize dense train-interaction rows for a batch of entity ids.
+
+    The on-device equivalent of the reference's
+    `InteractionRecDataset.get_{user,item}_interaction_vectors`
+    (`/root/reference/data/dataset.py:306-319`): reads the train CSR from the
+    `tables` collection and scatters each row's column ids into a dense 0/1
+    vector — touching only the batch's nnz instead of slicing scipy on host.
+    Gradients do not flow into the interaction data (it is a constant table).
+    """
+
+    entity: str  # 'user' | 'item'
+    n_rows: int
+    n_cols: int
+    max_row_len: int
+    nnz: int
+    normalize: bool = False
+
+    @nn.compact
+    def __call__(self, idxs):
+        from sibrar_tpu.ops.sparse import DeviceCSR, csr_rows_to_dense
+
+        indptr = self.variable(
+            "tables", f"{self.entity}__inter_indptr",
+            lambda: jnp.zeros((self.n_rows + 1,), jnp.int32)).value
+        indices = self.variable(
+            "tables", f"{self.entity}__inter_indices",
+            lambda: jnp.zeros((max(self.nnz, 1),), jnp.int32)).value
+        csr = DeviceCSR(indptr=indptr, indices=indices, n_rows=self.n_rows,
+                        n_cols=self.n_cols, max_row_len=self.max_row_len)
+        vec = csr_rows_to_dense(csr, idxs, dtype=jnp.float32)
+        if self.normalize:
+            norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+            vec = vec / jnp.maximum(norm, 1e-8)
+        return vec
+
+
+def interaction_module_from(device_data, entity: str, normalize: bool = False
+                            ) -> InteractionVectorModule:
+    csr = (device_data.user_inter_csr if entity == "user"
+           else device_data.item_inter_csr)
+    return InteractionVectorModule(
+        entity=entity, n_rows=csr.n_rows, n_cols=csr.n_cols,
+        max_row_len=csr.max_row_len, nnz=int(csr.indices.shape[0]),
+        normalize=normalize)
+
+
+def feature_module_from(feature, name: str, **kwargs) -> FeatureEmbeddingModule:
+    """Build a FeatureEmbeddingModule spec from a host-side `Feature`."""
+    from sibrar_tpu.config.schema import FeatureType
+
+    if feature.type == FeatureType.CATEGORICAL and not feature.one_hot:
+        kind, n_cat = "categorical", feature.n_unique_categories
+    elif feature.type == FeatureType.TAG and not feature.multi_hot:
+        kind, n_cat = "tag", feature.n_unique_categories
+    else:
+        kind, n_cat = "numeric", 0
+    return FeatureEmbeddingModule(
+        feature_name=name,
+        feature_kind=kind,
+        table_shape=tuple(feature.table.shape),
+        table_dtype=str(feature.table.dtype),
+        n_categories=n_cat,
+        **kwargs,
+    )

@@ -1,0 +1,541 @@
+"""Matrix/non-SGD algorithms: KNN family, EASE, SLIM, SVD, ALS, RBMF, P3alpha,
+plus the naive Random/Popular baselines.
+
+Parity targets: `/root/reference/algorithms/knn_algs.py`, `linear_algs.py`,
+`mf_algs.py`, `graph_algs.py`, `naive_algs.py`, and the similarity kernels in
+`/root/reference/utilities/similarities.py` (jaccard, cosine, asymmetric
+cosine, tversky, sorensen-dice, with shrinkage and zeroed self-similarity).
+
+TPU-first design:
+- similarity top-k runs as blocked dense jnp matmuls + `lax.top_k` on device
+  (replacing scipy sparse block loops);
+- EASE is a single device Gram inverse;
+- SLIM keeps the reference's objective (ElasticNet per column, positivity,
+  zero diagonal) but solves it with batched FISTA over ALL columns at once —
+  pure matmul iterations on the MXU instead of a multiprocessing pool of
+  scikit-learn solvers;
+- ALS implements Hu et al. implicit ALS with vmapped per-entity closed-form
+  solves on device (replacing the `implicit` library);
+- SVD/RBMF use host `svds` for the thin factorization (one-time offline fit)
+  with device-side prediction; RBMF's maxvol basis selection is implemented
+  directly (greedy determinant-maximizing row swaps).
+
+Prediction contract matches `SparseMatrixBasedRecommenderAlgorithm.predict`
+(`/root/reference/algorithms/base_classes.py:54-84`): `pred_mtx[u][:, i]`.
+"""
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+# ------------------------------------------------------------------- similarities
+def _pair_counts(block: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
+    """Co-occurrence counts block @ matrix.T, on device."""
+    return block @ matrix.T
+
+
+def _shrink(sim: jnp.ndarray, co: jnp.ndarray, shrinkage: float) -> jnp.ndarray:
+    if shrinkage > 0:
+        sim = sim * (co / (co + shrinkage))
+    return sim
+
+
+def sim_cosine(block, matrix, row_stats, col_stats, shrinkage, **_):
+    co = _pair_counts(block, matrix)
+    denom = row_stats["norm"][:, None] * col_stats["norm"][None, :]
+    return _shrink(jnp.where(denom > 0, co / denom, 0.0), co, shrinkage)
+
+
+def sim_jaccard(block, matrix, row_stats, col_stats, shrinkage, **_):
+    co = _pair_counts(block, matrix)
+    denom = row_stats["count"][:, None] + col_stats["count"][None, :] - co
+    return _shrink(jnp.where(denom > 0, co / denom, 0.0), co, shrinkage)
+
+
+def sim_sorensen_dice(block, matrix, row_stats, col_stats, shrinkage, **_):
+    co = _pair_counts(block, matrix)
+    denom = row_stats["count"][:, None] + col_stats["count"][None, :]
+    return _shrink(jnp.where(denom > 0, 2.0 * co / denom, 0.0), co, shrinkage)
+
+
+def sim_asymmetric_cosine(block, matrix, row_stats, col_stats, shrinkage, *,
+                          alpha=0.5, **_):
+    co = _pair_counts(block, matrix)
+    denom = (row_stats["count"][:, None] ** alpha) * (
+        col_stats["count"][None, :] ** (1.0 - alpha))
+    return _shrink(jnp.where(denom > 0, co / denom, 0.0), co, shrinkage)
+
+
+def sim_tversky(block, matrix, row_stats, col_stats, shrinkage, *,
+                alpha=1.0, beta=1.0, **_):
+    co = _pair_counts(block, matrix)
+    denom = (co + alpha * (row_stats["count"][:, None] - co)
+             + beta * (col_stats["count"][None, :] - co))
+    return _shrink(jnp.where(denom > 0, co / denom, 0.0), co, shrinkage)
+
+
+SIMILARITY_FUNCTIONS: dict[str, Callable] = {
+    "cosine": sim_cosine,
+    "dense_cosine": sim_cosine,  # dense input uses the same device kernel
+    "jaccard": sim_jaccard,
+    "sorensen_dice": sim_sorensen_dice,
+    "asymmetric_cosine": sim_asymmetric_cosine,
+    "tversky": sim_tversky,
+}
+
+
+def compute_similarity_top_k(
+    matrix: np.ndarray | sp.spmatrix,
+    sim_func_name: str = "cosine",
+    k: int = 100,
+    shrinkage: float = 0.0,
+    block_size: int = 4096,
+    **sim_kwargs,
+) -> sp.csr_matrix:
+    """Blocked top-k similarity between all rows of `matrix`, on device.
+
+    Self-similarity is zeroed before the top-k (reference similarities.py:45-49).
+    Returns a host CSR [n, n] with ≤k entries per row.
+    """
+    dense = matrix.toarray() if sp.issparse(matrix) else np.asarray(matrix)
+    dense = dense.astype(np.float32)
+    n = dense.shape[0]
+    mat_dev = jnp.asarray(dense)
+    stats = {
+        "norm": jnp.linalg.norm(mat_dev, axis=1),
+        "count": mat_dev.sum(axis=1),
+    }
+    fn = SIMILARITY_FUNCTIONS[sim_func_name]
+    k_eff = min(k, n - 1) if n > 1 else 1
+
+    @jax.jit
+    def block_topk(block, row_ids):
+        sim = fn(block, mat_dev, jax.tree_util.tree_map(lambda s: s[row_ids], stats),
+                 stats, shrinkage, **sim_kwargs)
+        cols = jnp.arange(n)
+        sim = jnp.where(cols[None, :] == row_ids[:, None], 0.0, sim)
+        vals, idx = jax.lax.top_k(sim, k_eff)
+        return vals, idx
+
+    rows_data, rows_idx = [], []
+    for start in range(0, n, block_size):
+        end = min(start + block_size, n)
+        ids = jnp.arange(start, end)
+        vals, idx = block_topk(mat_dev[start:end], ids)
+        rows_data.append(np.asarray(vals))
+        rows_idx.append(np.asarray(idx))
+    data = np.concatenate(rows_data)
+    cols = np.concatenate(rows_idx)
+    indptr = np.arange(0, n * k_eff + 1, k_eff)
+    out = sp.csr_matrix((data.ravel(), cols.ravel(), indptr), shape=(n, n))
+    out.eliminate_zeros()
+    return out
+
+
+# ------------------------------------------------------------------------ base
+class MatrixRecommender:
+    """Base for fit-once algorithms exposing a dense prediction matrix."""
+
+    def __init__(self):
+        self.pred_mtx: Optional[np.ndarray] = None
+
+    def fit(self, matrix: sp.spmatrix, **kwargs):
+        raise NotImplementedError
+
+    def predict(self, u_idxs: np.ndarray, i_idxs: np.ndarray) -> np.ndarray:
+        assert self.pred_mtx is not None, "Prediction matrix not computed, run fit!"
+        if sp.issparse(self.pred_mtx):
+            self.pred_mtx = np.asarray(self.pred_mtx.todense())
+        return self.pred_mtx[np.asarray(u_idxs)[:, None], np.asarray(i_idxs)]
+
+    def score_fn(self, items_in_split: np.ndarray) -> Callable:
+        """Device scorer over the eval catalog for the shared evaluator."""
+        assert self.pred_mtx is not None
+        pm = self.pred_mtx
+        if sp.issparse(pm):
+            pm = np.asarray(pm.todense())
+        sub = jnp.asarray(np.asarray(pm)[:, items_in_split], dtype=jnp.float32)
+        return lambda u_idxs: sub[u_idxs]
+
+    def save(self, path: str):
+        np.savez(os.path.join(path, "model.npz"), pred_mtx=self.pred_mtx)
+
+    def load(self, path: str):
+        with np.load(os.path.join(path, "model.npz")) as d:
+            self.pred_mtx = d["pred_mtx"]
+
+
+class FactorRecommender(MatrixRecommender):
+    """Factor-based variant: pred = users_factors @ items_factors.T."""
+
+    def __init__(self):
+        super().__init__()
+        self.users_factors: Optional[np.ndarray] = None
+        self.items_factors: Optional[np.ndarray] = None
+
+    def predict(self, u_idxs, i_idxs):
+        bu = self.users_factors[np.asarray(u_idxs)]
+        bi = self.items_factors[np.asarray(i_idxs)]
+        return (bu[:, None, :] * bi).sum(-1)
+
+    def score_fn(self, items_in_split: np.ndarray) -> Callable:
+        uf = jnp.asarray(self.users_factors, dtype=jnp.float32)
+        itf = jnp.asarray(self.items_factors[items_in_split], dtype=jnp.float32)
+        return lambda u_idxs: uf[u_idxs] @ itf.T
+
+    def save(self, path: str):
+        np.savez(os.path.join(path, "model.npz"),
+                 users_factors=self.users_factors, items_factors=self.items_factors)
+
+    def load(self, path: str):
+        with np.load(os.path.join(path, "model.npz")) as d:
+            self.users_factors = d["users_factors"]
+            self.items_factors = d["items_factors"]
+
+
+# -------------------------------------------------------------------------- KNN
+class KNNAlgorithm(MatrixRecommender):
+    def __init__(self, sim_func_name: str = "cosine", k: int = 100,
+                 shrinkage: float = 0.0, **sim_kwargs):
+        super().__init__()
+        self.sim_func_name = sim_func_name
+        self.k = k
+        self.shrinkage = shrinkage
+        self.sim_kwargs = {k_: v for k_, v in sim_kwargs.items() if v is not None}
+
+    @staticmethod
+    def build_from_conf(conf: dict, dataset):
+        p = conf.get("sim_func_params", {})
+        cls = {"uknn": UserKNN, "iknn": ItemKNN, "ifknn": ItemFeatureKNN}[conf["alg"]]
+        kwargs = {}
+        if conf["alg"] == "ifknn":
+            kwargs["feature_name"] = conf.get("feature_name")
+        return cls(sim_func_name=p.get("sim_func_name", "cosine"), k=conf["k"],
+                   shrinkage=conf.get("shrinkage", 0.0), alpha=p.get("alpha"),
+                   beta=p.get("beta"), **kwargs)
+
+    def _sim(self, mat):
+        return compute_similarity_top_k(
+            mat, self.sim_func_name, self.k, self.shrinkage, **self.sim_kwargs)
+
+
+class UserKNN(KNNAlgorithm):
+    def fit(self, matrix: sp.spmatrix, **kwargs):
+        sim = self._sim(matrix)
+        self.pred_mtx = np.asarray((sim @ matrix).todense())
+
+
+class ItemKNN(KNNAlgorithm):
+    def fit(self, matrix: sp.spmatrix, **kwargs):
+        sim = self._sim(matrix.T)
+        self.pred_mtx = np.asarray((matrix @ sim.T).todense())
+
+
+class ItemFeatureKNN(KNNAlgorithm):
+    def __init__(self, *args, feature_name: Optional[str] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.feature_name = feature_name
+
+    def fit(self, matrix: sp.spmatrix, feature_matrix: np.ndarray = None, **kwargs):
+        sim = self._sim(feature_matrix)
+        self.pred_mtx = np.asarray((matrix @ sim.T).todense())
+
+
+# ------------------------------------------------------------------------- EASE
+class EASE(MatrixRecommender):
+    def __init__(self, lam: float):
+        super().__init__()
+        self.lam = lam
+
+    def fit(self, matrix: sp.spmatrix, **kwargs):
+        a = jnp.asarray(matrix.toarray() if sp.issparse(matrix) else matrix,
+                        dtype=jnp.float32)
+
+        @jax.jit
+        def ease(a):
+            g = a.T @ a
+            g = g + self.lam * jnp.eye(g.shape[0], dtype=g.dtype)
+            p = jnp.linalg.inv(g)
+            b = p / (-jnp.diag(p))[None, :]
+            b = b.at[jnp.diag_indices(b.shape[0])].set(0.0)
+            return a @ b
+
+        self.pred_mtx = np.asarray(ease(a))
+
+    @staticmethod
+    def build_from_conf(conf: dict, dataset):
+        return EASE(conf["lam"])
+
+
+# ------------------------------------------------------------------------- SLIM
+class SLIM(MatrixRecommender):
+    """SLIM with the ElasticNet objective solved by batched FISTA on device.
+
+    Objective per column j (reference linear_algs.py:15-127 via sklearn
+    ElasticNet): 0.5/n ||a_j − A_{-j} w||² + alpha·l1_ratio·||w||₁
+    + 0.5·alpha·(1−l1_ratio)·||w||², with w ≥ 0 and diag(W) = 0. All columns
+    are solved simultaneously: each iteration is two [n_items, n_items]
+    matmuls (MXU) + elementwise soft-threshold/projection (VPU).
+    """
+
+    def __init__(self, alpha: float, l1_ratio: float, max_iter: int):
+        super().__init__()
+        self.alpha = alpha
+        self.l1_ratio = l1_ratio
+        self.max_iter = max_iter
+
+    def fit(self, matrix: sp.spmatrix, **kwargs):
+        a = np.asarray(matrix.todense() if sp.issparse(matrix) else matrix,
+                       dtype=np.float32)
+        n_users, n_items = a.shape
+        l1 = self.alpha * self.l1_ratio * n_users
+        l2 = self.alpha * (1.0 - self.l1_ratio) * n_users
+        a_dev = jnp.asarray(a)
+
+        @jax.jit
+        def solve(a):
+            g = a.T @ a  # gram [n_items, n_items]
+            # Lipschitz constant of the smooth part (power iteration, 20 steps)
+            def power_iter(i, v):
+                v = g @ v + l2 * v
+                return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+            v = power_iter(0, jnp.ones((n_items,)) / math.sqrt(n_items))
+            v = jax.lax.fori_loop(0, 20, power_iter, v)
+            lip = jnp.maximum(v @ (g @ v) + l2, 1e-6)
+            step = 1.0 / lip
+
+            eye_mask = 1.0 - jnp.eye(n_items)
+
+            def fista_step(i, carry):
+                w, z, t = carry
+                grad = g @ z - g + l2 * z
+                w_new = z - step * grad
+                w_new = jnp.maximum(w_new - step * l1, 0.0)  # soft-thr + positivity
+                w_new = w_new * eye_mask
+                t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
+                z_new = w_new + ((t - 1.0) / t_new) * (w_new - w)
+                return w_new, z_new, t_new
+
+            w0 = jnp.zeros((n_items, n_items))
+            w, _, _ = jax.lax.fori_loop(
+                0, self.max_iter, fista_step, (w0, w0, jnp.float32(1.0)))
+            return a @ w
+
+        self.pred_mtx = np.asarray(solve(a_dev))
+
+    @staticmethod
+    def build_from_conf(conf: dict, dataset):
+        return SLIM(conf["alpha"], conf["l1_ratio"], conf["max_iter"])
+
+
+# -------------------------------------------------------------------------- SVD
+class SVDAlgorithm(FactorRecommender):
+    def __init__(self, factors: int = 100):
+        super().__init__()
+        self.factors = factors
+
+    def fit(self, matrix: sp.spmatrix, **kwargs):
+        from scipy.sparse.linalg import svds
+
+        matrix = sp.csr_matrix(matrix).asfptype()
+        u, s, vt = svds(matrix, k=self.factors)
+        self.users_factors = u * s
+        self.items_factors = vt.T
+
+    @staticmethod
+    def build_from_conf(conf: dict, dataset):
+        return SVDAlgorithm(conf.get("n_factors", conf.get("factors", 100)))
+
+
+# -------------------------------------------------------------------------- ALS
+class AlternatingLeastSquare(FactorRecommender):
+    """Implicit-feedback ALS (Hu et al. 2008), device-native.
+
+    Replaces the `implicit` library (reference mf_algs.py:69-142): each
+    half-step solves all entities' ridge systems with a single vmapped
+    `jnp.linalg.solve` over dense confidence rows.
+    """
+
+    def __init__(self, alpha: float, factors: int, regularization: float,
+                 n_iterations: int, use_gpu: bool = False):
+        super().__init__()
+        self.alpha = alpha
+        self.factors = factors
+        self.regularization = regularization
+        self.n_iterations = n_iterations
+
+    def fit(self, matrix: sp.spmatrix, **kwargs):
+        p = np.asarray(matrix.todense() if sp.issparse(matrix) else matrix,
+                       dtype=np.float32)
+        p = (p > 0).astype(np.float32)
+        n_users, n_items = p.shape
+        f = self.factors
+        key = jax.random.PRNGKey(0)
+        ku, ki = jax.random.split(key)
+        x = 0.01 * jax.random.normal(ku, (n_users, f))
+        y = 0.01 * jax.random.normal(ki, (n_items, f))
+        p_dev = jnp.asarray(p)
+        alpha, reg = self.alpha, self.regularization
+
+        @jax.jit
+        def half_step(factors_other, pref):
+            """Solve for one side given the other; pref is [n_this, n_other]."""
+            yty = factors_other.T @ factors_other  # [f, f]
+
+            def solve_one(pu):
+                cu_minus = alpha * pu  # C_u - I on the positives only
+                m = yty + (factors_other * cu_minus[:, None]).T @ factors_other
+                m = m + reg * jnp.eye(f)
+                b = factors_other.T @ ((1.0 + cu_minus) * pu)
+                return jnp.linalg.solve(m, b)
+
+            return jax.vmap(solve_one)(pref)
+
+        for _ in range(self.n_iterations):
+            x = half_step(y, p_dev)
+            y = half_step(x, p_dev.T)
+        self.users_factors = np.asarray(x)
+        self.items_factors = np.asarray(y)
+
+    @staticmethod
+    def build_from_conf(conf: dict, dataset):
+        return AlternatingLeastSquare(
+            conf["alpha"], conf["factors"], conf["regularization"],
+            conf["n_iterations"], conf.get("use_gpu", False))
+
+
+# ------------------------------------------------------------------------- RBMF
+def maxvol(a: np.ndarray, tol: float = 1.05, max_iters: int = 100) -> np.ndarray:
+    """Greedy maxvol: indices of n_cols rows of `a` maximizing |det| of the
+    submatrix (Goreinov et al.); direct implementation replacing maxvolpy."""
+    n, r = a.shape
+    piv = np.argsort(-np.abs(np.linalg.qr(a.T)[1].diagonal()))  # rough seed
+    # LU-style seeding: choose pivot rows greedily
+    idx = []
+    rest = a.copy()
+    chosen = np.zeros(n, dtype=bool)
+    for _ in range(r):
+        norms = np.linalg.norm(rest, axis=1)
+        norms[chosen] = -1
+        j = int(np.argmax(norms))
+        idx.append(j)
+        chosen[j] = True
+        v = rest[j] / max(rest[j] @ rest[j], 1e-12)
+        rest = rest - np.outer(rest @ rest[j], v)
+    idx = np.array(idx)
+    # swap iterations
+    for _ in range(max_iters):
+        sub = a[idx]
+        b = a @ np.linalg.pinv(sub)  # [n, r]
+        i, j = np.unravel_index(np.argmax(np.abs(b)), b.shape)
+        if np.abs(b[i, j]) <= tol:
+            break
+        idx[j] = i
+    return idx
+
+
+class RBMF(FactorRecommender):
+    def __init__(self, n_representatives: int, lam: float = 1e-2):
+        super().__init__()
+        self.n_representatives = n_representatives
+        self.lam = lam
+
+    def fit(self, matrix: sp.spmatrix, **kwargs):
+        from scipy.sparse.linalg import svds
+
+        matrix = sp.csr_matrix(matrix).asfptype()
+        u, _, _ = svds(matrix, k=self.n_representatives)
+        idxs = maxvol(u)
+        c = matrix[idxs].toarray()  # [r, n_items]
+        inv = np.linalg.inv(c @ c.T + self.lam * np.eye(self.n_representatives))
+        x = matrix @ c.T @ inv
+        self.users_factors = np.asarray(x)  # [n_users, r]
+        self.items_factors = c.T  # [n_items, r]
+
+    @staticmethod
+    def build_from_conf(conf: dict, dataset):
+        return RBMF(conf["n_representatives"], conf.get("lam", 1e-2))
+
+
+# ---------------------------------------------------------------------- P3alpha
+class P3alpha(MatrixRecommender):
+    def __init__(self, alpha: float = 1.9):
+        super().__init__()
+        assert alpha >= 0
+        self.alpha = alpha
+
+    def fit(self, matrix: sp.spmatrix, **kwargs):
+        m = jnp.asarray(
+            (matrix.todense() if sp.issparse(matrix) else matrix), dtype=jnp.float32)
+
+        @jax.jit
+        def p3(m):
+            user_deg = jnp.maximum(m.sum(axis=1, keepdims=True), 1e-12)
+            item_deg = jnp.maximum(m.sum(axis=0, keepdims=True), 1e-12)
+            p_ui = m / user_deg  # user -> item transitions
+            p_iu = (m / item_deg).T  # item -> user transitions
+            # three steps on the bipartite graph: u->i->u->i
+            return p_ui @ (p_iu @ p_ui)
+
+        p3_mtx = np.asarray(p3(m))
+        self.pred_mtx = np.power(p3_mtx, self.alpha)
+
+    @staticmethod
+    def build_from_conf(conf: dict, dataset):
+        return P3alpha(alpha=conf["alpha"])
+
+
+# ------------------------------------------------------------------------ naive
+class RandomItems(MatrixRecommender):
+    def __init__(self, seed: int = 0):
+        super().__init__()
+        self.seed = seed
+
+    def fit(self, matrix: sp.spmatrix = None, **kwargs):
+        pass
+
+    def predict(self, u_idxs, i_idxs):
+        rng = np.random.default_rng(self.seed)
+        return rng.random(np.asarray(i_idxs).shape)
+
+    def score_fn(self, items_in_split: np.ndarray) -> Callable:
+        n = len(items_in_split)
+
+        def score(u_idxs):
+            key = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                                     int(np.asarray(u_idxs)[0]))
+            return jax.random.uniform(key, (u_idxs.shape[0], n))
+
+        return score
+
+    @staticmethod
+    def build_from_conf(conf: dict, dataset):
+        return RandomItems()
+
+
+class PopularItems(MatrixRecommender):
+    def __init__(self, pop_distribution: np.ndarray):
+        super().__init__()
+        self.pop_distribution = np.asarray(pop_distribution)
+
+    def fit(self, matrix: sp.spmatrix = None, **kwargs):
+        pass
+
+    def predict(self, u_idxs, i_idxs):
+        return self.pop_distribution[np.asarray(i_idxs)]
+
+    def score_fn(self, items_in_split: np.ndarray) -> Callable:
+        pop = jnp.asarray(self.pop_distribution[items_in_split], dtype=jnp.float32)
+        return lambda u_idxs: jnp.broadcast_to(pop, (u_idxs.shape[0], pop.shape[0]))
+
+    @staticmethod
+    def build_from_conf(conf: dict, dataset):
+        return PopularItems(dataset.pop_distribution)

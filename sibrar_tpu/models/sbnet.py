@@ -1,0 +1,349 @@
+"""SingleBranchNet (SiBraR) — the RecSys'24 single-branch multi-modal recommender.
+
+Parity target: `/root/reference/algorithms/sgd_alg.py:1764-2144`:
+- each entity has per-modality projection modules to a `common_modality_dim`,
+  then ONE shared single-branch MLP encodes whichever modality was sampled;
+- training samples 1–2 modalities per example (1 for no_regularization, 2 for
+  pairwise_single / central_modality), with an optional InfoNCE loss between the
+  two sampled modalities' single-branch embeddings;
+- evaluation runs ALL eval modalities through the branch and aggregates
+  (mean/max); 'interactions' and '{entity}_embedding' are synthetic modalities;
+- cold-start entities drop the 'interactions' modality at eval (:1896-1897).
+
+TPU-first design (SURVEY.md §7.3): modality selection inside jit is a dense
+compute-all-then-gather: every train modality's projection is computed for the
+batch ([n_mod, ..., d_common] stack) and the sampled k are gathered with
+`take_along_axis`. This costs n_mod× projection FLOPs (tiny vs the catalog
+matmul) but keeps the step fully fused, static-shaped, and MXU-friendly —
+replacing the reference's per-modality host loop + semi-batched gathers
+(`_get_modality_embeddings` :1934-1978).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional, Sequence, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sibrar_tpu.config.schema import EmbeddingRegularizationType
+from sibrar_tpu.data.sampling import sample_k_modalities
+from sibrar_tpu.models.base import RecModel
+from sibrar_tpu.models.layers import (
+    Embedding,
+    FeatureEmbeddingModule,
+    InteractionVectorModule,
+    PolyLinear,
+    feature_module_from,
+    interaction_module_from,
+)
+from sibrar_tpu.train.losses import info_nce
+
+
+# ------------------------------------------------------------------------ configs
+@dataclass
+class SingleBranchFeatureConfig:
+    feature_name: str
+    feature_hidden_layers: Optional[list[int]] = None
+
+
+@dataclass
+class SingleBranchNetEntityConfig:
+    features: list[SingleBranchFeatureConfig] = dc_field(default_factory=list)
+    single_branch_hidden_layers: list[int] = dc_field(default_factory=list)
+    preference_hidden_layers: list[int] = dc_field(default_factory=list)
+    common_modality_dim: int = 128
+    activation_fn: str = "relu"
+    train_modalities: Optional[list[str]] = None
+    eval_modalities: Optional[list[str]] = None
+    sampling_seed: int = 42
+    single_branch_input_dropout: Optional[float] = None
+    aggregation_fn: str = "mean"  # 'mean' | 'max'
+    normalize_single_branch_input: bool = False
+    embedding_regularization_type: EmbeddingRegularizationType = (
+        EmbeddingRegularizationType.NO_REGULARIZATION)
+    central_modality: Optional[str] = None
+    regularization_temperature: float = 1.0
+    regularization_weight: float = 1.0
+    apply_output_activation: bool = False
+    apply_batch_normalization: bool = True
+    apply_batch_norm_every: int = 0
+
+
+@dataclass
+class SBFeatureModuleConfig:
+    """Plain (non-single-branch) entity tower: one embedded feature."""
+
+    feature_name: str
+    embedding_dim: int
+    pre_embedding_layers: Optional[list[int]] = None
+    post_embedding_layers: Optional[list[int]] = None
+    activation_fn: str = "relu"
+
+
+class SingleBranchNetEntity(RecModel):
+    """Per-modality projections + one shared single-branch MLP for one entity."""
+
+    entity: str
+    modality_names: Sequence[str]  # train modalities, fixed order
+    eval_modality_ids: Sequence[int]  # indices into modality_names used at eval
+    modality_modules: Sequence[Union[FeatureEmbeddingModule, InteractionVectorModule, None]]
+    # entry None for '{entity}_embedding' (an id-embedding), module otherwise;
+    # InteractionVectorModule entries are followed by a projection PolyLinear.
+    inter_hidden_layers: Sequence[int]  # hidden layers for interactions proj
+    n_entities: int
+    common_modality_dim: int
+    output_dim: int
+    single_branch_hidden_layers: Sequence[int]
+    activation_fn: str = "relu"
+    single_branch_input_dropout: Optional[float] = None
+    aggregation_fn: str = "mean"
+    normalize_single_branch_input: bool = False
+    embedding_regularization_type: EmbeddingRegularizationType = (
+        EmbeddingRegularizationType.NO_REGULARIZATION)
+    central_modality_id: int = 0
+    regularization_temperature: float = 1.0
+    regularization_weight: float = 1.0
+    apply_output_activation: bool = False
+    apply_batch_normalization: bool = True
+    apply_batch_norm_every: int = 0
+
+    def setup(self):
+        mods = []
+        for name, tmpl in zip(self.modality_names, self.modality_modules):
+            if tmpl is None:  # '{entity}_embedding' synthetic modality
+                mods.append(Embedding(self.n_entities, self.common_modality_dim,
+                                      name=f"mod_{name}"))
+            elif isinstance(tmpl, InteractionVectorModule):
+                mods.append((
+                    tmpl.clone(name=f"mod_{name}_vec"),
+                    PolyLinear(
+                        [tmpl.n_cols, *self.inter_hidden_layers,
+                         self.common_modality_dim],
+                        activation_fn=self.activation_fn,
+                        output_fn=self.activation_fn,
+                        name=f"mod_{name}_proj"),
+                ))
+            else:
+                mods.append(tmpl.clone(name=f"mod_{name}"))
+        self._mods = mods
+
+        bn_every = (self.apply_batch_norm_every if self.apply_batch_normalization
+                    else 0)
+        if self.apply_batch_normalization and self.apply_batch_norm_every == 0:
+            # legacy mode: batch-norm only after the last layer (reference :1832-1837)
+            bn_every = -1
+        self.sb_net = PolyLinear(
+            [self.common_modality_dim, *self.single_branch_hidden_layers,
+             self.output_dim],
+            activation_fn=self.activation_fn,
+            output_fn=self.activation_fn if self.apply_output_activation else None,
+            input_dropout=self.single_branch_input_dropout,
+            apply_batch_norm_every=bn_every)
+
+    # ------------------------------------------------------------------ internals
+    def _modality_projection(self, mod, idxs, train: bool):
+        if isinstance(mod, tuple):  # interactions: dense rows then projection
+            vec_mod, proj = mod
+            return proj(vec_mod(idxs), train=train)
+        return mod(idxs, train=train) if isinstance(mod, (FeatureEmbeddingModule,)) \
+            else mod(idxs)
+
+    def _branch(self, x, train: bool):
+        if self.normalize_single_branch_input:
+            x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        return self.sb_net(x, train=train)
+
+    def _aggregate(self, x):
+        if self.aggregation_fn == "mean":
+            return x.mean(axis=-2)
+        if self.aggregation_fn == "max":
+            return x.max(axis=-2)
+        raise ValueError(f"aggregation {self.aggregation_fn!r} not supported")
+
+    # -------------------------------------------------------------------- forward
+    def __call__(self, idxs, train: bool = False):
+        if train:
+            return self._forward_train(idxs)
+        return self._forward_eval(idxs)
+
+    def _forward_train(self, idxs):
+        reg_type = self.embedding_regularization_type
+        k = 1 if reg_type == EmbeddingRegularizationType.NO_REGULARIZATION else 2
+        central = (self.central_modality_id
+                   if reg_type == EmbeddingRegularizationType.CENTRAL_MODALITY
+                   else None)
+        key = self.make_rng("sample")
+        sampled = sample_k_modalities(
+            key, idxs.shape, len(self.modality_names), k, central=central)
+
+        # dense compute-all: stack every modality's projection [..., n_mod, d]
+        all_proj = jnp.stack(
+            [self._modality_projection(m, idxs, True) for m in self._mods],
+            axis=-2)
+        picked = jnp.take_along_axis(
+            all_proj, sampled[..., None], axis=-2)  # [..., k, d]
+        encoded = self._branch(picked, train=True)  # [..., k, output_dim]
+
+        if k == 2:
+            # contrast semantics follow the reference (:1989): for item batches
+            # [B, 1+n, d] the candidates of a row contrast each other; for user
+            # batches [B, d] users contrast across the batch
+            reg = info_nce(
+                encoded[..., 0, :], encoded[..., 1, :],
+                temperature=self.regularization_temperature)
+            self.sow("losses", f"{self.entity}_reg_loss",
+                     self.regularization_weight * reg)
+        return self._aggregate(encoded)
+
+    def _forward_eval(self, idxs):
+        projections = [
+            self._modality_projection(self._mods[i], idxs, False)
+            for i in self.eval_modality_ids
+        ]
+        stacked = jnp.stack(projections, axis=-2)  # [..., n_eval_mod, d]
+        encoded = self._branch(stacked, train=False)
+        return self._aggregate(encoded)
+
+
+class PlainEntityModule(RecModel):
+    """Non-single-branch entity tower: one embedded feature (the reference's
+    FeatureEmbedding fallback when an entity config is a FeatureModuleConfig)."""
+
+    module: FeatureEmbeddingModule
+
+    def setup(self):
+        self.net = self.module.clone(name="net")
+
+    def __call__(self, idxs, train: bool = False):
+        return self.net(idxs, train=train)
+
+
+class SingleBranchNet(RecModel):
+    user_module: RecModel
+    item_module: RecModel
+
+    def user_repr(self, u_idxs, train: bool = False):
+        return self.user_module(u_idxs, train=train)
+
+    def item_repr(self, i_idxs, train: bool = False):
+        return self.item_module(i_idxs, train=train)
+
+    # ---------------------------------------------------------------- construction
+    @staticmethod
+    def build_from_conf(conf: dict, dataset, device_data) -> "SingleBranchNet":
+        from sibrar_tpu.config.schema import from_dict
+
+        shared_common_dim = conf["shared_common_dim"]
+
+        def build_entity(entity: str):
+            econf = conf[entity]
+            is_sb = "features" in econf and not econf.get("embedding_dim")
+            n_entities = dataset.n_users if entity == "user" else dataset.n_items
+            feats = (dataset.user_features if entity == "user"
+                     else dataset.item_features)
+            if not is_sb:
+                fc = from_dict(SBFeatureModuleConfig, econf)
+                emb_dim = fc.embedding_dim if fc.embedding_dim != -1 else shared_common_dim
+                if fc.feature_name == f"{entity}_embedding":
+                    module = feature_module_from(
+                        _IdFeature(n_entities), f"{entity}__{fc.feature_name}",
+                        embedding_dim=emb_dim)
+                else:
+                    module = feature_module_from(
+                        feats[fc.feature_name], f"{entity}__{fc.feature_name}",
+                        embedding_dim=emb_dim,
+                        pre_embedding_layers=tuple(fc.pre_embedding_layers or []) or None,
+                        post_embedding_layers=tuple(fc.post_embedding_layers or []) or None,
+                        activation_fn=fc.activation_fn)
+                return PlainEntityModule(module=module)
+
+            ec = from_dict(SingleBranchNetEntityConfig, econf)
+            available = [f.feature_name for f in ec.features]
+            train_mods = list(ec.train_modalities or available)
+            for m in train_mods:
+                if m not in available:
+                    raise ValueError(
+                        f"Network definitions for modalities {{{m!r}}} are not available!")
+            eval_mods = list(ec.eval_modalities or train_mods)
+            for m in eval_mods:
+                if m not in train_mods:
+                    raise ValueError(
+                        f'Cannot use modality "{m}" during evaluation, '
+                        f"if it is not used during training.")
+            # cold-start entities have no eval-time interactions (:1896-1897)
+            is_cold = (dataset.is_cold_start_user if entity == "user"
+                       else dataset.is_cold_start_item)
+            if is_cold:
+                eval_mods = [m for m in eval_mods if m != "interactions"]
+            if len(eval_mods) == 0 or len(train_mods) == 0:
+                raise ValueError(
+                    "No single modality is available "
+                    f"during {'training' if not train_mods else 'evaluation'}")
+
+            hidden_by_name = {f.feature_name: f.feature_hidden_layers or []
+                              for f in ec.features}
+            modules: list = []
+            inter_hidden: tuple = ()
+            for name in train_mods:
+                if name == "interactions":
+                    modules.append(interaction_module_from(device_data, entity))
+                    inter_hidden = tuple(hidden_by_name[name])
+                elif name == f"{entity}_embedding":
+                    modules.append(None)
+                else:
+                    modules.append(feature_module_from(
+                        feats[name], f"{entity}__{name}",
+                        embedding_dim=ec.common_modality_dim,
+                        pre_embedding_layers=tuple(hidden_by_name[name]) or None,
+                        activation_fn=ec.activation_fn))
+
+            central_id = 0
+            if (ec.embedding_regularization_type
+                    == EmbeddingRegularizationType.CENTRAL_MODALITY):
+                if ec.central_modality not in train_mods:
+                    raise ValueError(
+                        f"central modality {ec.central_modality!r} not in train modalities")
+                central_id = train_mods.index(ec.central_modality)
+
+            return SingleBranchNetEntity(
+                entity=entity,
+                modality_names=tuple(train_mods),
+                eval_modality_ids=tuple(train_mods.index(m) for m in eval_mods),
+                modality_modules=tuple(modules),
+                inter_hidden_layers=inter_hidden,
+                n_entities=n_entities,
+                common_modality_dim=ec.common_modality_dim,
+                output_dim=shared_common_dim,
+                single_branch_hidden_layers=tuple(ec.single_branch_hidden_layers),
+                activation_fn=ec.activation_fn,
+                single_branch_input_dropout=ec.single_branch_input_dropout,
+                aggregation_fn=ec.aggregation_fn,
+                normalize_single_branch_input=ec.normalize_single_branch_input,
+                embedding_regularization_type=ec.embedding_regularization_type,
+                central_modality_id=central_id,
+                regularization_temperature=ec.regularization_temperature,
+                regularization_weight=ec.regularization_weight,
+                apply_output_activation=ec.apply_output_activation,
+                apply_batch_normalization=ec.apply_batch_normalization,
+                apply_batch_norm_every=ec.apply_batch_norm_every,
+            )
+
+        return SingleBranchNet(
+            user_module=build_entity("user"), item_module=build_entity("item"))
+
+
+class _IdFeature:
+    """Minimal stand-in Feature for the synthetic '{entity}_embedding' modality."""
+
+    def __init__(self, n: int):
+        import numpy as np
+
+        from sibrar_tpu.config.schema import FeatureDefinition, FeatureType
+
+        self.type = FeatureType.CATEGORICAL
+        self.one_hot = False
+        self.multi_hot = False
+        self.n_unique_categories = n
+        self.table = np.arange(n, dtype=np.int32)
+        self.definition = FeatureDefinition("id", FeatureType.CATEGORICAL)

@@ -1,0 +1,294 @@
+"""Training loop: one jitted, scanned train epoch + Python-side early stopping.
+
+Parity target: the reference `Trainer` (`/root/reference/train/trainer.py:18-256`):
+initial validation before training, per-epoch train (forward → rec_loss + model
+reg_loss → optimizer step with adam/adagrad/adamw), early stopping on patience,
+best-checkpoint saving when the optimizing metric improves, optional train-set
+evaluation, `max_batches_per_epoch` cap, and metric logging hooks.
+
+TPU-first design (SURVEY.md §7.1): the reference's eager per-batch loop —
+host-side negative sampling, per-batch H2D copies, per-batch optimizer step —
+becomes a single `lax.scan` over the epoch's permuted interaction batches inside
+one jit: on-device uniform/popular negative sampling, on-device feature gathers,
+fused forward/backward/update. Early stopping and checkpointing stay in Python
+around the jitted epoch, exactly like the reference's epoch loop structure.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import flax.serialization
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sibrar_tpu.config.schema import DatasetConfig, LearningConfig
+from sibrar_tpu.data.dataset import DeviceData, RecDataset
+from sibrar_tpu.data.sampling import sample_negatives
+from sibrar_tpu.eval.evaluator import FullEvaluator, evaluate_model
+from sibrar_tpu.models.base import collect_reg_loss, init_model
+from sibrar_tpu.train.losses import build_rec_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    tables: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+    step: jax.Array
+
+
+def build_optimizer(learn: LearningConfig) -> optax.GradientTransformation:
+    """adam/adagrad/adamw with torch-equivalent weight-decay placement:
+    for adam/adagrad the decay enters the gradient before the moment updates
+    (torch's L2-style `weight_decay`); adamw uses decoupled decay."""
+    if learn.optimizer == "adam":
+        txs = []
+        if learn.wd:
+            txs.append(optax.add_decayed_weights(learn.wd))
+        txs += [optax.scale_by_adam(), optax.scale(-learn.lr)]
+        return optax.chain(*txs)
+    if learn.optimizer == "adagrad":
+        txs = []
+        if learn.wd:
+            txs.append(optax.add_decayed_weights(learn.wd))
+        txs += [optax.scale_by_rss(initial_accumulator_value=0.0), optax.scale(-learn.lr)]
+        return optax.chain(*txs)
+    if learn.optimizer == "adamw":
+        return optax.adamw(learn.lr, weight_decay=learn.wd)
+    raise ValueError(f"unsupported optimizer {learn.optimizer!r}")
+
+
+class Trainer:
+    """Fits a RecModel on one split with full-catalog validation."""
+
+    def __init__(
+        self,
+        model,
+        train_data: RecDataset,
+        val_evaluator: FullEvaluator,
+        learn: LearningConfig,
+        dataset_conf: DatasetConfig,
+        batch_size: int = 128,
+        eval_batch_size: int = 256,
+        seed: int = 0,
+        results_path: Optional[str] = None,
+        log_fn: Optional[Callable[[dict], None]] = None,
+        device_data: Optional[DeviceData] = None,
+    ):
+        self.model = model
+        self.train_dataset = train_data
+        self.data = device_data if device_data is not None else train_data.to_device()
+        self.val_evaluator = val_evaluator
+        self.learn = learn
+        self.dataset_conf = dataset_conf
+        self.batch_size = batch_size
+        self.eval_batch_size = eval_batch_size
+        self.seed = seed
+        self.results_path = results_path
+        self.log_fn = log_fn or (lambda d: None)
+
+        self.n_neg = dataset_conf.n_negative_samples
+        self.rec_loss = build_rec_loss(
+            learn.rec_loss,
+            n_items=train_data.n_items_in_split,
+            n_neg=self.n_neg,
+            aggregator=learn.loss_aggregator,
+            train_neg_strategy=dataset_conf.negative_sampling_strategy,
+        )
+        self.optimizer = build_optimizer(learn)
+
+        rng = jax.random.PRNGKey(seed)
+        variables = init_model(model, rng, self.data, n_neg=self.n_neg)
+        self.state = TrainState(
+            params=variables["params"],
+            tables=variables.get("tables", {}),
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.optimizer.init(variables["params"]),
+            rng=jax.random.fold_in(rng, 7),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self._epoch_fn = None
+        self.best_params = None
+        self.best_batch_stats = None
+        self.best_value = -np.inf
+        self.best_epoch = -1
+
+    # ----------------------------------------------------------------- train step
+    def _model_variables(self, state: TrainState) -> dict:
+        v = {"params": state.params}
+        if state.tables:
+            v["tables"] = state.tables
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    def _loss_fn(self, params, state: TrainState, u, i_global, labels, rngs):
+        variables = self._model_variables(state)
+        variables["params"] = params
+        mutable = ["losses"] + (["batch_stats"] if state.batch_stats else [])
+        logits, aux = self.model.apply(
+            variables, u, i_global, train=True, rngs=rngs, mutable=mutable)
+        loss = self.rec_loss(logits, labels)
+        reg = collect_reg_loss(aux)
+        new_batch_stats = aux.get("batch_stats", state.batch_stats)
+        return loss + reg, (loss, reg, new_batch_stats)
+
+    def _make_epoch_fn(self, n_batches: int):
+        data = self.data
+        strategy = self.dataset_conf.negative_sampling_strategy
+        n_catalog = self.train_dataset.n_items_in_split
+        n_neg = self.n_neg
+        bs = self.batch_size
+        squash = self.dataset_conf.popularity_squashing_factor
+
+        def train_step(state: TrainState, idxs):
+            rng = jax.random.fold_in(state.rng, state.step)
+            k_neg, k_sample, k_drop = jax.random.split(rng, 3)
+            u = data.train_users[idxs]  # [bs]
+            pos_cat = data.train_items_cat[idxs]  # [bs]
+            negs_cat = sample_negatives(
+                k_neg, u, data.pos_csr, data.popularity,
+                strategy=strategy, n_catalog=n_catalog, n_neg=n_neg,
+                squashing_factor=squash)
+            i_cat = jnp.concatenate([pos_cat[:, None], negs_cat], axis=1)
+            i_global = data.catalog[i_cat]  # [bs, 1+n_neg]
+            labels = jnp.zeros((bs, 1 + n_neg), jnp.float32).at[:, 0].set(1.0)
+
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (total, (loss, reg, new_bs)), grads = grad_fn(
+                state.params, state, u, i_global, labels,
+                {"sample": k_sample, "dropout": k_drop})
+            updates, new_opt = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            state = state.replace(
+                params=new_params, opt_state=new_opt, batch_stats=new_bs,
+                step=state.step + 1)
+            return state, jnp.stack([total, loss, reg])
+
+        @jax.jit
+        def epoch(state: TrainState, perm):
+            batches = perm[: n_batches * bs].reshape(n_batches, bs)
+            state, losses = jax.lax.scan(train_step, state, batches)
+            return state, losses.mean(axis=0)
+
+        return epoch
+
+    # ------------------------------------------------------------------- epoch api
+    def train_epoch(self) -> Dict[str, float]:
+        n_inter = len(np.asarray(self.data.train_users))
+        n_batches = n_inter // self.batch_size
+        if self.learn.max_batches_per_epoch:
+            n_batches = min(n_batches, self.learn.max_batches_per_epoch)
+        if n_batches == 0:
+            raise ValueError("not enough interactions for a single batch")
+        if self._epoch_fn is None:
+            self._epoch_fn = self._make_epoch_fn(n_batches)
+        perm_key = jax.random.fold_in(self.state.rng, 1000003 + int(self.state.step))
+        perm = jax.random.permutation(perm_key, n_inter)
+        self.state, losses = self._epoch_fn(self.state, perm)
+        total, rec, reg = np.asarray(losses)
+        return {"train/loss": float(total), "train/rec_loss": float(rec),
+                "train/reg_loss": float(reg)}
+
+    # ------------------------------------------------------------------ evaluation
+    def _eval_fns(self):
+        """Jitted eval primitives, compiled once (variables passed as operands
+        so parameter updates between epochs never trigger recompilation)."""
+        if not hasattr(self, "_jit_item_repr"):
+            self._jit_item_repr = jax.jit(
+                lambda v, i: self.model.apply(
+                    v, i, train=False, method=self.model.item_repr))
+            self._jit_score = jax.jit(
+                lambda v, u, i_repr: self.model.apply(
+                    v,
+                    self.model.apply(v, u, train=False, method=self.model.user_repr),
+                    i_repr,
+                    method=self.model.combine))
+        return self._jit_item_repr, self._jit_score
+
+    def make_score_fn(self, params=None, batch_stats=None) -> Callable:
+        """Precompute catalog item reprs once, return a user-batch scorer
+        (the reference's compute-items-once eval split, eval/eval.py:207-217)."""
+        variables = {"params": params if params is not None else self.state.params}
+        if self.state.tables:
+            variables["tables"] = self.state.tables
+        bstats = batch_stats if batch_stats is not None else self.state.batch_stats
+        if bstats:
+            variables["batch_stats"] = bstats
+
+        item_repr_fn, score_fn = self._eval_fns()
+        i_repr = item_repr_fn(variables, self.val_evaluator.data.catalog)
+        return lambda u_idxs: score_fn(variables, u_idxs, i_repr)
+
+    def validate(self) -> dict:
+        score_fn = self.make_score_fn()
+        return evaluate_model(score_fn, self.val_evaluator, self.eval_batch_size)
+
+    # ---------------------------------------------------------------------- fit
+    def fit(self) -> dict:
+        """Run the full training loop; returns the best validation metrics."""
+        metric_name = self.learn.optimizing_metric
+        key = (f"{self.val_evaluator.name}/{metric_name}"
+               if self.val_evaluator.name else metric_name)
+
+        # initial validation before training (reference trainer.py:103-119)
+        metrics = self.validate()
+        self.log_fn({"epoch": -1, **metrics})
+        self._maybe_update_best(metrics.get(key, -np.inf), -1)
+        best_metrics = metrics
+
+        patience = 0
+        for epoch in range(self.learn.n_epochs):
+            train_metrics = self.train_epoch()
+            metrics = self.validate()
+            self.log_fn({"epoch": epoch, **train_metrics, **metrics})
+            value = metrics.get(key, -np.inf)
+            if value > self.best_value:
+                self._maybe_update_best(value, epoch)
+                best_metrics = metrics
+                patience = 0
+            else:
+                patience += 1
+                if patience >= self.learn.max_patience:
+                    break
+        # restore best for downstream use
+        if self.best_params is not None:
+            self.state = self.state.replace(
+                params=self.best_params, batch_stats=self.best_batch_stats)
+        return best_metrics
+
+    def _maybe_update_best(self, value: float, epoch: int):
+        if value > self.best_value:
+            self.best_value = value
+            self.best_epoch = epoch
+            self.best_params = jax.tree_util.tree_map(lambda x: x, self.state.params)
+            self.best_batch_stats = jax.tree_util.tree_map(
+                lambda x: x, self.state.batch_stats)
+            if self.results_path:
+                self.save(self.results_path)
+
+    # ---------------------------------------------------------------- persistence
+    def save(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        payload = {"params": self.best_params if self.best_params is not None
+                   else self.state.params,
+                   "batch_stats": self.best_batch_stats if self.best_batch_stats
+                   is not None else self.state.batch_stats}
+        with open(os.path.join(path, "model.msgpack"), "wb") as fh:
+            fh.write(flax.serialization.to_bytes(payload))
+
+    def load(self, path: str):
+        with open(os.path.join(path, "model.msgpack"), "rb") as fh:
+            payload = {"params": self.state.params,
+                       "batch_stats": self.state.batch_stats}
+            restored = flax.serialization.from_bytes(payload, fh.read())
+        self.state = self.state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"])

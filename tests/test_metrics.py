@@ -1,0 +1,96 @@
+"""Golden-value metric tests against a direct numpy re-derivation of the
+reference formulas (`/root/reference/eval/metrics.py`: binary relevance,
+NaN→0, NDCG clamp, IDCG over ideal top-k)."""
+import numpy as np
+import jax.numpy as jnp
+
+from sibrar_tpu.eval.metrics import coverage_flags, user_metrics_from_hits
+
+
+def ref_metrics(scores: np.ndarray, y_true: np.ndarray, k: int):
+    """Reference semantics, dense implementation."""
+    b, n = scores.shape
+    idx_topk = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    rows = np.arange(b)[:, None]
+    hits = y_true[rows, idx_topk]
+    npos = y_true.sum(1)
+
+    recall = hits.sum(1) / npos
+    recall[np.isnan(recall)] = 0.0
+    precision = hits.sum(1) / k
+    disc = 1.0 / np.log2(np.arange(2, k + 2))
+    dcg = (hits * disc).sum(1)
+    ideal = -np.sort(-y_true, axis=1)[:, :k]
+    idcg = (ideal * disc).sum(1)
+    ndcg = dcg / idcg
+    ndcg[np.isnan(ndcg)] = 0.0
+    ndcg = np.clip(ndcg, None, 1.0)
+    hitrate = (hits.sum(1) > 0).astype(float)
+    prec_at_i = hits.cumsum(1) / np.arange(1, k + 1)
+    ap = (prec_at_i * hits).sum(1) / np.maximum(np.minimum(npos, k), 1)
+    ap[npos == 0] = 0.0
+    f = np.where(precision + recall > 0, 2 * precision * recall / (precision + recall), 0.0)
+    return dict(recall=recall, precision=precision, ndcg=ndcg, hitrate=hitrate,
+                ap=ap, f_score=f)
+
+
+def hits_and_npos(scores, y_true, k_max):
+    idx_topk = np.argsort(-scores, axis=1, kind="stable")[:, :k_max]
+    rows = np.arange(scores.shape[0])[:, None]
+    return y_true[rows, idx_topk].astype(np.float32), y_true.sum(1).astype(np.int32)
+
+
+def test_metrics_match_reference_formulas(rng):
+    b, n, ks = 64, 50, (1, 3, 5, 10)
+    scores = rng.normal(size=(b, n)).astype(np.float32)
+    y_true = (rng.random((b, n)) < 0.08).astype(np.float32)
+    y_true[:5] = 0.0  # users with no positives: all metrics must be 0
+    k_max = max(ks)
+    hits, npos = hits_and_npos(scores, y_true, k_max)
+    got = user_metrics_from_hits(jnp.asarray(hits), jnp.asarray(npos), ks)
+    for k in ks:
+        exp = ref_metrics(scores, y_true, k)
+        for m in ("recall", "precision", "ndcg", "hitrate", "ap", "f_score"):
+            np.testing.assert_allclose(
+                np.asarray(got[f"{m}@{k}"]), exp[m], rtol=2e-4, atol=1e-5,
+                err_msg=f"{m}@{k}")
+    # no-positive users are exactly zero
+    for k in ks:
+        assert np.all(np.asarray(got[f"ndcg@{k}"])[:5] == 0.0)
+        assert np.all(np.asarray(got[f"recall@{k}"])[:5] == 0.0)
+
+
+def test_metrics_match_torch_reference_impl(rng):
+    """Cross-check ndcg/recall/precision against the actual torch formulas
+    from the reference metrics module, re-expressed here."""
+    import torch
+
+    b, n, k = 32, 40, 10
+    scores = rng.normal(size=(b, n)).astype(np.float32)
+    y_true = (rng.random((b, n)) < 0.1).astype(np.float32)
+    logits = torch.tensor(scores)
+    yt = torch.tensor(y_true)
+    idx_topk = logits.topk(k=k).indices
+    col = torch.arange(b).unsqueeze(-1)
+    disc = 1.0 / torch.log2(torch.arange(2, k + 2).float())
+    dcg = (yt[col, idx_topk] * disc).sum(-1)
+    idcg = (yt.topk(k).values * disc).sum(-1)
+    ndcg_t = dcg / idcg
+    ndcg_t[torch.isnan(ndcg_t)] = 0.0
+    ndcg_t = ndcg_t.clamp(max=1.0)
+    recall_t = yt[col, idx_topk].sum(-1) / yt.sum(-1)
+    recall_t[torch.isnan(recall_t)] = 0.0
+
+    hits, npos = hits_and_npos(scores, y_true, k)
+    got = user_metrics_from_hits(jnp.asarray(hits), jnp.asarray(npos), (k,))
+    np.testing.assert_allclose(np.asarray(got[f"ndcg@{k}"]), ndcg_t.numpy(),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[f"recall@{k}"]), recall_t.numpy(),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_coverage_flags():
+    topk = jnp.asarray(np.array([[0, 1, 2], [2, 3, 4], [0, 1, 2]]))
+    flags = coverage_flags(topk, (2, 3), 10)
+    assert float(np.asarray(flags["coverage@3"]).mean()) == 0.5  # items 0..4
+    assert float(np.asarray(flags["coverage@2"]).mean()) == 0.4  # items 0,1,2,3

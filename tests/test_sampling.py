@@ -1,0 +1,84 @@
+"""On-device sampler tests: exclusion correctness + distribution properties."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from sibrar_tpu.data.sampling import (
+    sample_k_modalities, sample_negatives, sample_negatives_uniform,
+)
+from sibrar_tpu.ops.sparse import DeviceCSR, csr_contains, csr_rows_to_dense
+
+
+def _toy_csr(n_users=30, n_items=100, density=0.2, seed=0):
+    rng = np.random.default_rng(seed)
+    mat = sp.random(n_users, n_items, density=density, random_state=rng,
+                    data_rvs=lambda n: np.ones(n)).tocsr()
+    return mat, DeviceCSR.from_scipy(mat)
+
+
+def test_csr_ops_match_scipy():
+    mat, csr = _toy_csr()
+    rows = jnp.asarray(np.arange(10), dtype=jnp.int32)
+    dense = np.asarray(csr_rows_to_dense(csr, rows))
+    np.testing.assert_array_equal(dense, mat[:10].toarray())
+    # membership over every cell of a few rows
+    cols = jnp.arange(mat.shape[1], dtype=jnp.int32)
+    got = np.asarray(csr_contains(csr, rows[:, None], cols[None, :]))
+    np.testing.assert_array_equal(got, mat[:10].toarray().astype(bool))
+
+
+def test_uniform_negatives_exclude_positives():
+    mat, csr = _toy_csr(density=0.3)
+    users = jnp.asarray(np.arange(30).repeat(4), dtype=jnp.int32)
+    negs = sample_negatives_uniform(
+        jax.random.PRNGKey(0), users, csr, n_catalog=100, n_neg=8)
+    coll = np.asarray(csr_contains(csr, users[:, None], negs))
+    assert coll.mean() < 1e-3  # residual collisions are geometrically unlikely
+    # distinct within row
+    n = np.asarray(negs)
+    for row in n:
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_uniform_negatives_cover_catalog_uniformly():
+    mat, csr = _toy_csr(n_users=4, n_items=50, density=0.05)
+    users = jnp.zeros(2000, dtype=jnp.int32)
+    negs = np.asarray(sample_negatives_uniform(
+        jax.random.PRNGKey(1), users, csr, n_catalog=50, n_neg=4)).ravel()
+    counts = np.bincount(negs, minlength=50).astype(float)
+    pos = set(mat[0].indices.tolist())
+    nonpos = [i for i in range(50) if i not in pos]
+    # roughly uniform over non-positives (chi-square-ish loose bound)
+    p = counts[nonpos] / counts[nonpos].sum()
+    assert np.all(np.abs(p - 1 / len(nonpos)) < 3 / len(nonpos))
+
+
+def test_popular_negatives_follow_popularity():
+    mat, csr = _toy_csr(n_users=4, n_items=20, density=0.01, seed=3)
+    pop = np.arange(1, 21, dtype=np.float32)
+    pop = pop / pop.sum()
+    users = jnp.zeros(4000, dtype=jnp.int32)
+    negs = np.asarray(sample_negatives(
+        jax.random.PRNGKey(2), users, csr, jnp.asarray(pop),
+        strategy="popular", n_catalog=20, n_neg=2)).ravel()
+    counts = np.bincount(negs, minlength=20).astype(float)
+    # higher-popularity items must be sampled more
+    assert counts[15:].mean() > 3 * counts[:5].mean()
+
+
+def test_modality_sampling_shapes_and_semantics():
+    key = jax.random.PRNGKey(0)
+    m1 = sample_k_modalities(key, (100,), 4, 1)
+    assert m1.shape == (100, 1)
+    assert set(np.asarray(m1).ravel()) <= set(range(4))
+    m2 = sample_k_modalities(key, (100, 3), 4, 2)
+    assert m2.shape == (100, 3, 2)
+    assert np.all(np.asarray(m2[..., 0]) != np.asarray(m2[..., 1]))
+    mc = sample_k_modalities(key, (500,), 4, 2, central=2)
+    mc = np.asarray(mc)
+    assert np.all((mc == 2).sum(-1) == 1)  # central appears exactly once
+    other = mc[mc != 2]
+    assert set(other.tolist()) == {0, 1, 3}
+    # order randomized: central should appear in both slots
+    assert 0.3 < (mc[:, 0] == 2).mean() < 0.7
