@@ -55,6 +55,9 @@ def csr_row_gather(csr: DeviceCSR, rows: jax.Array) -> tuple[jax.Array, jax.Arra
     Returns ``(cols[B..., max_row_len] int32, mask[B..., max_row_len] bool)``;
     padded positions have mask False and column value 0 (clamped).
     """
+    if csr.nnz == 0:  # e.g. cold-start exclude masks: no train items in catalog
+        shape = (*rows.shape, max(csr.max_row_len, 1))
+        return (jnp.zeros(shape, jnp.int32), jnp.zeros(shape, bool))
     starts = csr.indptr[rows]  # [...]
     ends = csr.indptr[rows + 1]
     offs = jnp.arange(max(csr.max_row_len, 1), dtype=jnp.int32)  # [L]
@@ -122,6 +125,8 @@ def csr_contains(csr: DeviceCSR, rows: jax.Array, cols: jax.Array) -> jax.Array:
     cols = jnp.asarray(cols)
     rows_b, cols_b = jnp.broadcast_arrays(rows, cols)
     shape = rows_b.shape
+    if csr.nnz == 0:
+        return jnp.zeros(shape, bool)
     rflat = rows_b.reshape(-1)
     cflat = cols_b.reshape(-1)
     starts = csr.indptr[rflat]

@@ -1,0 +1,140 @@
+"""Device mesh + sharding strategy.
+
+The reference is single-device (`/root/reference/data/config_classes.py:159`,
+device enum limited to cpu|cuda; SURVEY.md §2.9: no DP/TP/PP of any kind).
+The TPU-native equivalent is one mesh with two logical axes:
+
+- ``data``  — batch-dim data parallelism for the jitted train step. Gradients
+  are averaged implicitly by sharded autodiff (XLA inserts the psum over ICI).
+- ``item``  — catalog-dim model parallelism for full-catalog evaluation and the
+  genuinely large tensors of this workload (SURVEY.md §5.7): the ``[B, C]``
+  score matrix, the ``[C, d]`` item-representation table, and the
+  ``[n_items, h]`` input layers of interaction-vector towers (DMF / DropoutNet /
+  SBNet 'interactions' modality, `/root/reference/algorithms/sgd_alg.py:1175-1181`).
+
+Model parameters are replicated (they are small — a few M at most in every
+reference config), so the only collectives on the train path are the gradient
+all-reduces; the eval path does per-shard top-k + a tiny [B, k]-candidate merge
+instead of ever materializing an unsharded score matrix.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+ITEM_AXIS = "item"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    *,
+    item_parallelism: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build the (data, item) mesh over available devices.
+
+    ``item_parallelism`` fixes the size of the item axis (defaults to the
+    largest power-of-two divisor ≤ sqrt(n) so both axes get devices; on a
+    single chip both axes are 1 and every collective is a no-op).
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if item_parallelism is None:
+        item_parallelism = 1
+        while (item_parallelism * 2) ** 2 <= n and n % (item_parallelism * 2) == 0:
+            item_parallelism *= 2
+    if n % item_parallelism:
+        raise ValueError(f"{n} devices not divisible by item_parallelism={item_parallelism}")
+    grid = np.asarray(devs).reshape(n // item_parallelism, item_parallelism)
+    return Mesh(grid, (DATA_AXIS, ITEM_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding (leading axis over the data axis)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+def item_sharding(mesh: Mesh) -> NamedSharding:
+    """Catalog-dim sharding (leading axis over the item axis)."""
+    return NamedSharding(mesh, P(ITEM_AXIS))
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x, mesh: Optional[Mesh]):
+    """Sharding constraint: leading dim over the data axis (no-op without a mesh)."""
+    if mesh is None:
+        return x
+    spec = P(DATA_AXIS, *([None] * (jnp.ndim(x) - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def shard_catalog(x, mesh: Optional[Mesh]):
+    """Sharding constraint: leading dim over the item axis (no-op without a mesh)."""
+    if mesh is None:
+        return x
+    spec = P(ITEM_AXIS, *([None] * (jnp.ndim(x) - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def batch_multiple(mesh: Optional[Mesh]) -> int:
+    """Batches must divide evenly over the data axis."""
+    return mesh.shape[DATA_AXIS] if mesh is not None else 1
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------- topk merge
+def sharded_topk(
+    scores: jax.Array,  # [B, C] sharded as P(None, ITEM_AXIS)
+    k: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    """Distributed full-catalog top-k: per-shard ``lax.top_k`` over the local
+    catalog slice, then an all-gather of the tiny ``[B, k]`` candidate sets and
+    a second top-k over ``n_shards*k`` candidates. Never materializes the
+    unsharded ``[B, C]`` matrix (the SURVEY.md §5.7 catalog-sharding pattern);
+    the merge traffic is ``O(B·k·n_shards)`` over ICI.
+
+    Returns global ``(values[B, k], indices[B, k])`` with indices in catalog space.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_shards = mesh.shape[ITEM_AXIS]
+    c = scores.shape[-1]
+    if c % n_shards:
+        raise ValueError(f"catalog size {c} not divisible by {n_shards} item shards")
+    local_c = c // n_shards
+
+    def local_topk(s):  # s: [B, local_c]
+        kk = min(k, local_c)
+        v, i = jax.lax.top_k(s, kk)
+        shard_id = jax.lax.axis_index(ITEM_AXIS)
+        i = i + shard_id * local_c
+        if kk < k:  # pad so the gathered layout is uniform
+            pad = k - kk
+            v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+            i = jnp.pad(i, ((0, 0), (0, pad)))
+        # gather candidates from every item shard: [B, n_shards*k]
+        v_all = jax.lax.all_gather(v, ITEM_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, ITEM_AXIS, axis=1, tiled=True)
+        vk, pos = jax.lax.top_k(v_all, k)
+        return vk, jnp.take_along_axis(i_all, pos, axis=1)
+
+    fn = shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=P(None, ITEM_AXIS),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(scores)

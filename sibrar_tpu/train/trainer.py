@@ -31,6 +31,7 @@ from sibrar_tpu.data.dataset import DeviceData, RecDataset
 from sibrar_tpu.data.sampling import sample_negatives
 from sibrar_tpu.eval.evaluator import FullEvaluator, evaluate_model
 from sibrar_tpu.models.base import collect_reg_loss, init_model
+from sibrar_tpu.parallel.mesh import batch_multiple, shard_batch, shard_catalog
 from sibrar_tpu.train.losses import build_rec_loss
 
 
@@ -81,8 +82,14 @@ class Trainer:
         results_path: Optional[str] = None,
         log_fn: Optional[Callable[[dict], None]] = None,
         device_data: Optional[DeviceData] = None,
+        mesh=None,
     ):
         self.model = model
+        self.mesh = mesh
+        if mesh is not None and batch_size % batch_multiple(mesh):
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the mesh data axis "
+                f"({batch_multiple(mesh)})")
         self.train_dataset = train_data
         self.data = device_data if device_data is not None else train_data.to_device()
         self.val_evaluator = val_evaluator
@@ -148,18 +155,25 @@ class Trainer:
         bs = self.batch_size
         squash = self.dataset_conf.popularity_squashing_factor
 
+        mesh = self.mesh
+
         def train_step(state: TrainState, idxs):
             rng = jax.random.fold_in(state.rng, state.step)
             k_neg, k_sample, k_drop = jax.random.split(rng, 3)
-            u = data.train_users[idxs]  # [bs]
-            pos_cat = data.train_items_cat[idxs]  # [bs]
+            # data-parallel sharding of the batch over the mesh's data axis
+            # (SURVEY.md §2.9 TPU-native mapping); params stay replicated, so
+            # the only train-path collective is the gradient all-reduce XLA
+            # inserts for the sharded autodiff.
+            u = shard_batch(data.train_users[idxs], mesh)  # [bs]
+            pos_cat = shard_batch(data.train_items_cat[idxs], mesh)  # [bs]
             negs_cat = sample_negatives(
                 k_neg, u, data.pos_csr, data.popularity,
                 strategy=strategy, n_catalog=n_catalog, n_neg=n_neg,
                 squashing_factor=squash)
             i_cat = jnp.concatenate([pos_cat[:, None], negs_cat], axis=1)
-            i_global = data.catalog[i_cat]  # [bs, 1+n_neg]
-            labels = jnp.zeros((bs, 1 + n_neg), jnp.float32).at[:, 0].set(1.0)
+            i_global = shard_batch(data.catalog[i_cat], mesh)  # [bs, 1+n_neg]
+            labels = shard_batch(
+                jnp.zeros((bs, 1 + n_neg), jnp.float32).at[:, 0].set(1.0), mesh)
 
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (total, (loss, reg, new_bs)), grads = grad_fn(
@@ -226,6 +240,10 @@ class Trainer:
 
         item_repr_fn, score_fn = self._eval_fns()
         i_repr = item_repr_fn(variables, self.val_evaluator.data.catalog)
+        # catalog-dim sharding for full-catalog scoring (SURVEY.md §5.7): the
+        # [C, d] item table and the [B, C] score matrix partition on the item axis
+        i_repr = jax.tree_util.tree_map(
+            lambda x: shard_catalog(x, self.mesh), i_repr)
         return lambda u_idxs: score_fn(variables, u_idxs, i_repr)
 
     def validate(self) -> dict:

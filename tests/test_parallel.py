@@ -1,0 +1,91 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh (conftest.py).
+
+The reference has nothing distributed (SURVEY.md §2.9); these tests validate the
+TPU-native mapping: DP train step over the `data` axis and catalog-sharded
+full-catalog top-k over the `item` axis.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sibrar_tpu.parallel.mesh import make_mesh, sharded_topk
+
+
+def test_mesh_axes():
+    mesh = make_mesh(8)
+    assert mesh.shape["data"] * mesh.shape["item"] == 8
+    assert mesh.shape["item"] == 2  # largest pow2 with item^2 <= 8
+    mesh1 = make_mesh(1)
+    assert mesh1.shape["data"] == 1 and mesh1.shape["item"] == 1
+
+
+def test_sharded_topk_matches_dense():
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(size=(6, 64)).astype(np.float32))
+    vals, idxs = sharded_topk(scores, 5, mesh)
+    ref_v, ref_i = jax.lax.top_k(scores, 5)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(ref_i))
+
+
+def test_sharded_topk_k_larger_than_shard():
+    mesh = make_mesh(8, item_parallelism=8)
+    rng = np.random.default_rng(1)
+    scores = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32))
+    # local shards hold 4 columns < k=6 → padding path
+    vals, idxs = sharded_topk(scores, 6, mesh)
+    ref_v, ref_i = jax.lax.top_k(scores, 6)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(ref_i))
+
+
+def test_dp_training_step_runs_sharded():
+    from sibrar_tpu.config.schema import DatasetConfig, EvalConfig, LearningConfig
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.mf import SGDMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(8)
+    splits = make_synthetic_splits(n_users=48, n_items=64, n_interactions=900, seed=1)
+    model = SGDMatrixFactorization(
+        n_users=48, n_items=64, embedding_dim=8)
+    learn = LearningConfig(n_epochs=1, lr=1e-2, rec_loss="bpr",
+                           max_batches_per_epoch=2)
+    ev = FullEvaluator(EvalConfig(top_k=[5]), splits["val"], evaluator_name="val")
+    trainer = Trainer(model, splits["train"], ev, learn, DatasetConfig(),
+                      batch_size=16 * mesh.shape["data"], seed=0, mesh=mesh)
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), trainer.state.params)
+    losses = trainer.train_epoch()
+    assert np.isfinite(losses["train/loss"])
+    before_leaves = jax.tree_util.tree_leaves(before)
+    after_leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(before_leaves, after_leaves))
+    # catalog-sharded eval works end to end
+    res = trainer.validate()
+    assert np.isfinite(res["val/ndcg@5"])
+
+
+def test_batch_size_must_divide_mesh():
+    from sibrar_tpu.config.schema import DatasetConfig, EvalConfig, LearningConfig
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.mf import SGDMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(8)
+    splits = make_synthetic_splits(n_users=30, n_items=40, n_interactions=400, seed=2)
+    model = SGDMatrixFactorization(n_users=30, n_items=40, embedding_dim=4)
+    ev = FullEvaluator(EvalConfig(top_k=[5]), splits["val"])
+    with pytest.raises(ValueError, match="divide over the mesh"):
+        Trainer(model, splits["train"], ev, LearningConfig(), DatasetConfig(),
+                batch_size=17, seed=0, mesh=mesh)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
