@@ -1,0 +1,71 @@
+"""Experiment CLI — the front door of the framework.
+
+Parity target: `/root/reference/run_experiment.py:9-53` (argparse over
+algorithm / dataset / split type / run type), dispatching into the
+orchestration layer (`sibrar_tpu/experiment.py`).
+
+Example:
+    python run_experiment.py -a mf -d /data/ml1m/random_split -t train_val_test \
+        -c conf/mf.yml
+"""
+from __future__ import annotations
+
+import argparse
+
+from sibrar_tpu.config.loader import get_config
+from sibrar_tpu.experiment import (
+    run_gather,
+    run_test,
+    run_train_val,
+    run_train_val_test,
+)
+from sibrar_tpu.models.registry import ALGORITHMS
+
+RUN_TYPES = ("train_val", "test", "train_val_test", "gather")
+SPLIT_TYPES = ("random", "temporal", "cold_start_user", "cold_start_item",
+               "cold_start_both")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="sibrar_tpu experiment runner")
+    parser.add_argument("--algorithm", "-a", required=True,
+                        choices=sorted(ALGORITHMS))
+    parser.add_argument("--dataset_path", "-d", required=True,
+                        help="preprocessed artifact directory (reference layout)")
+    parser.add_argument("--dataset_name", "-n", default=None,
+                        help="dataset name for the results tree (default: dir name)")
+    parser.add_argument("--split_type", "-s", default=None, choices=SPLIT_TYPES)
+    parser.add_argument("--run_type", "-t", default="train_val", choices=RUN_TYPES)
+    parser.add_argument("--conf_path", "-c", required=True,
+                        help="yaml/json experiment config (base_configs supported)")
+    parser.add_argument("--override", "-o", action="append", default=[],
+                        metavar="key.path=value",
+                        help="config override, e.g. -o learn.lr=0.01")
+    args = parser.parse_args(argv)
+
+    import os
+
+    import yaml
+
+    overrides = {"dataset.dataset_path": args.dataset_path}
+    for item in args.override:
+        key, _, value = item.partition("=")
+        overrides[key] = yaml.safe_load(value)
+    conf = get_config(
+        args.conf_path, algorithm=args.algorithm,
+        dataset_name=args.dataset_name or os.path.basename(
+            os.path.normpath(args.dataset_path)),
+        split_type=args.split_type, overrides=overrides)
+
+    if args.run_type == "train_val":
+        run_train_val(conf)
+    elif args.run_type == "test":
+        run_test(conf)
+    elif args.run_type == "train_val_test":
+        run_train_val_test(conf)
+    else:
+        run_gather(conf)
+
+
+if __name__ == "__main__":
+    main()

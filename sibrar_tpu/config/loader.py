@@ -95,6 +95,36 @@ def nested_dict_get(d: dict, key: str, default: Any = None) -> Any:
     return cur.get(keys[-1], default) if isinstance(cur, dict) else default
 
 
+def get_config(config_path: str, algorithm: str | None = None,
+               dataset_name: str | None = None, split_type: str | None = None,
+               overrides: dict | None = None):
+    """Load a config file into a typed `ExperimentConfig`.
+
+    Mirrors the reference `get_config` (`/root/reference/conf/conf_parser.py:12-50`):
+    resolves the `base_configs` inheritance chain, then applies CLI-provided
+    algorithm/dataset/split — which are authoritative: a conflicting value in
+    the file is an error (reference conf_parser.py:85-87).
+    """
+    from sibrar_tpu.config.schema import ExperimentConfig, from_dict
+    from sibrar_tpu.utils.misc import generate_id
+
+    conf = load_config_dict(config_path)
+    for key, value in (("algorithm", algorithm), ("dataset_name", dataset_name),
+                       ("split_type", split_type)):
+        if value is None:
+            continue
+        if key in conf and conf[key] != value:
+            raise ValueError(
+                f"config file sets {key}={conf[key]!r} but the command line "
+                f"says {value!r}; the command line is authoritative — remove "
+                f"the key from the file or change the flag")
+        conf[key] = value
+    for key, value in (overrides or {}).items():
+        update_nested_dict(conf, key, value)
+    conf.setdefault("run_id", generate_id(conf.get("algorithm")))
+    return from_dict(ExperimentConfig, conf)
+
+
 def yaml_save(file_path: str, data: Any) -> None:
     with open(file_path, "w") as fh:
         yaml.safe_dump(data, fh)

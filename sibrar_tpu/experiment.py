@@ -1,0 +1,238 @@
+"""Experiment orchestration: config → data → model → train/fit → eval → artifacts.
+
+Parity target: `/root/reference/experiment_helper.py` (run_train_val :42-90,
+run_test :123-149, run_gather :168-186, run_train_val_test :189-191): wires the
+config to datasets and the algorithm registry, dispatches on model family
+(SGD vs fit-once matrix), saves `conf.yml` / `metrics_val.yml` /
+`metrics_test.yml` and the best model into the run directory, and logs to W&B
+when available/enabled.
+
+TPU-first: the SGD path hands everything to the jitted Trainer; the optional
+`profile_training` flag wraps one training epoch in `jax.profiler.trace`
+(TensorBoard/Perfetto) — the moral equivalent of the reference's torch.profiler
+Chrome-trace epoch (`/root/reference/train/trainer.py:173-182`).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+
+from sibrar_tpu.config.loader import yaml_save
+from sibrar_tpu.config.schema import ExperimentConfig, as_dict
+from sibrar_tpu.data.dataset import RecDataset
+from sibrar_tpu.eval.evaluator import FullEvaluator, evaluate_model
+from sibrar_tpu.models.registry import get_algorithm
+from sibrar_tpu.train.trainer import Trainer
+from sibrar_tpu.utils.misc import generate_id, log_info_results, reproducible
+
+
+def _load_split(conf: ExperimentConfig, split_set: str) -> RecDataset:
+    return RecDataset.load(
+        conf.dataset.dataset_path,
+        split_set,
+        user_feature_definitions=conf.dataset.user_features or None,
+        item_feature_definitions=conf.dataset.item_features or None,
+        n_negative_samples=conf.dataset.n_negative_samples,
+        negative_sampling_strategy=conf.dataset.negative_sampling_strategy,
+        popularity_squashing_factor=conf.dataset.popularity_squashing_factor,
+    )
+
+
+def _results_path(conf: ExperimentConfig) -> str:
+    if not conf.results_path:
+        conf.results_path = os.path.join(
+            "results", conf.dataset_name, conf.split_type.dir_name, conf.algorithm,
+            conf.run_id or generate_id())
+    os.makedirs(conf.results_path, exist_ok=True)
+    return conf.results_path
+
+
+def _maybe_wandb(conf: ExperimentConfig):
+    """Return a live wandb run or None (gated on config + availability)."""
+    if not (conf.wandb.use_wandb or conf.run_settings.use_wandb):
+        return None
+    try:
+        import wandb
+    except ImportError:
+        import logging
+
+        logging.warning("wandb requested but not installed; logging disabled")
+        return None
+    return wandb.init(
+        project=conf.wandb.project, entity=conf.wandb.entity,
+        name=conf.run_id or None, tags=list(conf.wandb.tags) or None,
+        config=as_dict(conf), reinit=True)
+
+
+def _fit_matrix_algorithm(alg, train_ds: RecDataset):
+    """Dispatch fit kwargs per algorithm family (reference
+    experiment_helper.py:72-77 + ItemFeatureKNN's feature matrix)."""
+    kwargs = {}
+    feature_name = getattr(alg, "feature_name", None)
+    if feature_name:
+        feat = train_ds.item_features[feature_name]
+        kwargs["feature_matrix"] = np.asarray(feat.table, dtype=np.float32)
+    alg.fit(matrix=train_ds.user_sampling_matrix, **kwargs)
+
+
+# ------------------------------------------------------------------------ runs
+def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
+    """Train on train split, validate on val; returns best val metrics."""
+    reproducible(conf.run_settings.seed)
+    results_path = _results_path(conf)
+    yaml_save(os.path.join(results_path, "conf.yml"), as_dict(conf))
+
+    spec = get_algorithm(conf.algorithm)
+    train_ds = _load_split(conf, "train")
+    val_ds = _load_split(conf, "val")
+    evaluator = FullEvaluator(conf.eval, val_ds, evaluator_name="val")
+
+    wandb_run = _maybe_wandb(conf)
+    _log = log_fn or (lambda d: wandb_run.log(d) if wandb_run else None)
+
+    if spec.kind == "sgd":
+        device_data = train_ds.to_device()
+        model = spec.build(conf.model, train_ds, device_data)
+        trainer = Trainer(
+            model, train_ds, evaluator, conf.learn, conf.dataset,
+            batch_size=conf.loader.batch_size,
+            eval_batch_size=conf.loader.eval_batch_size,
+            seed=conf.run_settings.seed,
+            results_path=results_path,
+            log_fn=_log,
+            device_data=device_data,
+        )
+        if conf.profile_training:
+            import jax
+
+            with jax.profiler.trace(os.path.join(results_path, "profile")):
+                trainer.train_epoch()
+        metrics = trainer.fit()
+    else:
+        alg = spec.build(conf.model, train_ds)
+        _fit_matrix_algorithm(alg, train_ds)
+        alg.save(results_path)
+        metrics = evaluate_model(
+            alg.score_fn(val_ds.items_in_split), evaluator,
+            conf.loader.eval_batch_size)
+        _log(metrics)
+
+    yaml_save(os.path.join(results_path, "metrics_val.yml"), metrics)
+    log_info_results(metrics)
+    if wandb_run:
+        wandb_run.finish()
+    return metrics
+
+
+def run_test(conf: ExperimentConfig, log_fn=None) -> dict:
+    """Evaluate the saved best model on the test split
+    (reference experiment_helper.py:123-149)."""
+    reproducible(conf.run_settings.seed)
+    results_path = _results_path(conf)
+
+    spec = get_algorithm(conf.algorithm)
+    train_ds = _load_split(conf, "train")
+    test_ds = _load_split(conf, "test")
+    evaluator = FullEvaluator(conf.eval, test_ds, evaluator_name="test")
+
+    wandb_run = _maybe_wandb(conf)
+    _log = log_fn or (lambda d: wandb_run.log(d) if wandb_run else None)
+
+    if spec.kind == "sgd":
+        device_data = train_ds.to_device()
+        model = spec.build(conf.model, train_ds, device_data)
+        trainer = Trainer(
+            model, train_ds, evaluator, conf.learn, conf.dataset,
+            batch_size=conf.loader.batch_size,
+            eval_batch_size=conf.loader.eval_batch_size,
+            seed=conf.run_settings.seed,
+            device_data=device_data,
+        )
+        trainer.load(results_path)
+        metrics = trainer.validate()
+    else:
+        alg = spec.build(conf.model, train_ds)
+        alg.load(results_path)
+        metrics = evaluate_model(
+            alg.score_fn(test_ds.items_in_split), evaluator,
+            conf.loader.eval_batch_size)
+    _log(metrics)
+
+    yaml_save(os.path.join(results_path, "metrics_test.yml"), metrics)
+    log_info_results(metrics)
+    if wandb_run:
+        wandb_run.finish()
+    return metrics
+
+
+def run_train_val_test(conf: ExperimentConfig) -> tuple[dict, dict]:
+    val_metrics = run_train_val(conf)
+    test_metrics = run_test(conf)
+    return val_metrics, test_metrics
+
+
+def run_gather(conf: ExperimentConfig, split_set: str = "test", k: int = 100,
+               out_name: Optional[str] = None) -> dict:
+    """Re-evaluate a saved model, exporting per-user raw metrics and top-k
+    indices/logits to a pickle (reference Gatherer, eval/eval.py:230-333)."""
+    import jax
+    import jax.numpy as jnp
+
+    reproducible(conf.run_settings.seed)
+    results_path = _results_path(conf)
+
+    spec = get_algorithm(conf.algorithm)
+    train_ds = _load_split(conf, "train")
+    eval_ds = _load_split(conf, split_set)
+    evaluator = FullEvaluator(conf.eval, eval_ds, evaluator_name=split_set)
+
+    if spec.kind == "sgd":
+        device_data = train_ds.to_device()
+        model = spec.build(conf.model, train_ds, device_data)
+        trainer = Trainer(
+            model, train_ds, evaluator, conf.learn, conf.dataset,
+            batch_size=conf.loader.batch_size,
+            eval_batch_size=conf.loader.eval_batch_size,
+            seed=conf.run_settings.seed, device_data=device_data)
+        trainer.load(results_path)
+        score_fn = trainer.make_score_fn()
+    else:
+        alg = spec.build(conf.model, train_ds)
+        alg.load(results_path)
+        score_fn = alg.score_fn(eval_ds.items_in_split)
+
+    k = min(k, eval_ds.n_items_in_split)
+    users = np.asarray(evaluator.data.users_in_split)
+    top_idx, top_logits = [], []
+    bs = conf.loader.eval_batch_size
+    for start in range(0, len(users), bs):
+        batch = users[start:start + bs]
+        valid = np.ones(len(batch), bool)
+        if len(batch) < bs:
+            pad = bs - len(batch)
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        u = jnp.asarray(batch, dtype=jnp.int32)
+        scores = score_fn(u)
+        v, i = jax.lax.top_k(scores, k)
+        top_idx.append(np.asarray(i)[valid])
+        top_logits.append(np.asarray(v)[valid])
+        evaluator.eval_batch(u, scores, valid=valid)
+    metrics, raw = evaluator.get_results(return_raw_results=True)
+
+    payload = {
+        "metrics": metrics,
+        "raw_metrics": raw,
+        "users": users,
+        "top_k_indices": np.concatenate(top_idx),  # positions in items_in_split
+        "top_k_logits": np.concatenate(top_logits),
+        "items_in_split": np.asarray(eval_ds.items_in_split),
+    }
+    out = os.path.join(results_path, out_name or f"gather_{split_set}.pkl")
+    with open(out, "wb") as fh:
+        pickle.dump(payload, fh)
+    log_info_results(metrics)
+    return payload

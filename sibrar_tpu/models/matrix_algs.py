@@ -516,6 +516,13 @@ class RandomItems(MatrixRecommender):
 
         return score
 
+    def save(self, path: str):
+        np.savez(os.path.join(path, "model.npz"), seed=self.seed)
+
+    def load(self, path: str):
+        with np.load(os.path.join(path, "model.npz")) as d:
+            self.seed = int(d["seed"])
+
     @staticmethod
     def build_from_conf(conf: dict, dataset):
         return RandomItems()
@@ -535,6 +542,14 @@ class PopularItems(MatrixRecommender):
     def score_fn(self, items_in_split: np.ndarray) -> Callable:
         pop = jnp.asarray(self.pop_distribution[items_in_split], dtype=jnp.float32)
         return lambda u_idxs: jnp.broadcast_to(pop, (u_idxs.shape[0], pop.shape[0]))
+
+    def save(self, path: str):
+        np.savez(os.path.join(path, "model.npz"),
+                 pop_distribution=self.pop_distribution)
+
+    def load(self, path: str):
+        with np.load(os.path.join(path, "model.npz")) as d:
+            self.pop_distribution = d["pop_distribution"]
 
     @staticmethod
     def build_from_conf(conf: dict, dataset):

@@ -1,0 +1,179 @@
+"""Experiment-layer tests: registry completeness, CLI → train/test/gather on
+reference-format artifacts written to disk (the full L7→L1 stack of SURVEY.md §1)."""
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from sibrar_tpu.config.loader import get_config
+from sibrar_tpu.config.schema import DatasetSplitType
+from sibrar_tpu.data.synthetic import make_synthetic_splits, write_reference_artifacts
+from sibrar_tpu.models.registry import ALGORITHMS, get_algorithm
+
+# minimal model confs per algorithm (keys mirror the reference's conf yamls)
+MODEL_CONFS = {
+    "sgdbias": {},
+    "mf": {"embedding_dim": 8},
+    "acf": {"embedding_dim": 8, "n_anchors": 4},
+    "uprotomf": {"embedding_dim": 8, "n_prototypes": 4},
+    "iprotomf": {"embedding_dim": 8, "n_prototypes": 4},
+    "uiprotomf": {"embedding_dim": 8, "u_n_prototypes": 4, "i_n_prototypes": 4},
+    "uprotomfs": {"embedding_dim": 8, "n_prototypes": 4},
+    "iprotomfs": {"embedding_dim": 8, "n_prototypes": 4},
+    "uiprotomfs": {"embedding_dim": 8, "u_n_prototypes": 4, "i_n_prototypes": 4},
+    "ecf": {"embedding_dim": 8, "n_clusters": 4, "top_n": 2, "top_m": 2,
+            "top_p": 2, "tag_feature": "genres"},
+    "dmf": {"u_mid_layers": [8], "i_mid_layers": [8], "final_dimension": 8},
+    "ifeatmf": {"feature_name": "audio", "embedding_dim": 8},
+    "ufeatmf": {"feature_name": "profile_vec", "embedding_dim": 8},
+    "dropoutnet": {
+        "shared_common_dim": 8,
+        "user": {"features": [{"feature_name": "profile_vec", "embedding_dim": 8}],
+                 "preference_layers": [8], "common_hidden_layers": [8]},
+        "item": {"features": [{"feature_name": "audio", "embedding_dim": 8}],
+                 "preference_layers": [8], "common_hidden_layers": [8]},
+    },
+    "sbnet": {
+        "shared_common_dim": 8,
+        "user": {"feature_name": "user_embedding", "embedding_dim": 8},
+        "item": {"features": [{"feature_name": "audio"},
+                              {"feature_name": "text"}],
+                 "single_branch_hidden_layers": [8], "common_modality_dim": 8},
+    },
+    "uknn": {"k": 5},
+    "iknn": {"k": 5},
+    "ifknn": {"k": 5, "feature_name": "audio"},
+    "svd": {"n_factors": 4},
+    "als": {"factors": 4, "n_iterations": 2, "regularization": 0.1, "alpha": 1.0},
+    "rbmf": {"n_representatives": 4, "lam": 0.1},
+    "slim": {"alpha": 0.01, "l1_ratio": 0.5, "max_iter": 5},
+    "ease": {"lam": 1.0},
+    "p3alpha": {"alpha": 1.0},
+    "rand": {},
+    "pop": {},
+}
+
+
+def test_registry_covers_reference_zoo():
+    # the reference enum's 26 algorithms minus uiprotomfs_combine (a
+    # predict-time composition, provided as UIProtoMFsCombine)
+    assert set(MODEL_CONFS) == set(ALGORITHMS)
+    assert len(ALGORITHMS) >= 25
+
+
+@pytest.fixture(scope="module")
+def artifact_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth_random")
+    splits = make_synthetic_splits(n_users=50, n_items=60, n_interactions=1200, seed=11)
+    write_reference_artifacts(str(out), splits)
+    return str(out)
+
+
+def _write_conf(tmp_path, base_overrides=None) -> str:
+    conf = {
+        "learn": {"n_epochs": 2, "lr": 0.005, "rec_loss": "bpr",
+                  "optimizing_metric": "ndcg@10"},
+        "eval": {"top_k": [10], "metrics": ["ndcg", "recall", "coverage"]},
+        "loader": {"batch_size": 32, "eval_batch_size": 64},
+        "dataset": {
+            "n_negative_samples": 2,
+            "user_features": [{"name": "gender", "type": "categorical"},
+                              {"name": "profile_vec", "type": "vector"}],
+            "item_features": [{"name": "audio", "type": "vector"},
+                              {"name": "text", "type": "vector"},
+                              {"name": "genres", "type": "tag"}],
+        },
+    }
+    if base_overrides:
+        conf.update(base_overrides)
+    path = os.path.join(str(tmp_path), "conf.yml")
+    with open(path, "w") as fh:
+        yaml.safe_dump(conf, fh)
+    return path
+
+
+@pytest.mark.parametrize("algorithm", ["mf", "uiprotomf", "ecf"])
+def test_cli_train_val_test_sgd(tmp_path, artifact_dir, algorithm):
+    import run_experiment
+
+    conf_path = _write_conf(tmp_path, {"model": MODEL_CONFS[algorithm],
+                                       "results_path": str(tmp_path / "run")})
+    run_experiment.main([
+        "-a", algorithm, "-d", artifact_dir, "-t", "train_val_test",
+        "-c", conf_path])
+    res = str(tmp_path / "run")
+    assert os.path.exists(os.path.join(res, "conf.yml"))
+    assert os.path.exists(os.path.join(res, "model.msgpack"))
+    with open(os.path.join(res, "metrics_val.yml")) as fh:
+        val = yaml.safe_load(fh)
+    with open(os.path.join(res, "metrics_test.yml")) as fh:
+        test = yaml.safe_load(fh)
+    assert np.isfinite(val["val/ndcg@10"]) and np.isfinite(test["test/ndcg@10"])
+
+
+@pytest.mark.parametrize("algorithm", ["ease", "pop", "iknn"])
+def test_cli_train_val_test_matrix(tmp_path, artifact_dir, algorithm):
+    import run_experiment
+
+    conf_path = _write_conf(tmp_path, {"model": MODEL_CONFS[algorithm],
+                                       "results_path": str(tmp_path / "run")})
+    run_experiment.main([
+        "-a", algorithm, "-d", artifact_dir, "-t", "train_val_test",
+        "-c", conf_path])
+    res = str(tmp_path / "run")
+    assert os.path.exists(os.path.join(res, "model.npz"))
+    with open(os.path.join(res, "metrics_test.yml")) as fh:
+        test = yaml.safe_load(fh)
+    assert np.isfinite(test["test/ndcg@10"])
+
+
+def test_gather_exports_topk(tmp_path, artifact_dir):
+    import pickle
+
+    import run_experiment
+
+    conf_path = _write_conf(tmp_path, {"model": MODEL_CONFS["mf"],
+                                       "results_path": str(tmp_path / "run")})
+    run_experiment.main(["-a", "mf", "-d", artifact_dir, "-t", "train_val",
+                         "-c", conf_path])
+    run_experiment.main(["-a", "mf", "-d", artifact_dir, "-t", "gather",
+                         "-c", conf_path])
+    with open(tmp_path / "run" / "gather_test.pkl", "rb") as fh:
+        payload = pickle.load(fh)
+    n_users = len(payload["users"])
+    assert payload["top_k_indices"].shape[0] == n_users
+    assert payload["top_k_logits"].shape == payload["top_k_indices"].shape
+    assert "test/ndcg@10" in payload["metrics"]
+    assert payload["raw_metrics"]["test/ndcg@10"].shape == (n_users,)
+
+
+def test_cli_conflicting_split_type_errors(tmp_path, artifact_dir):
+    conf_path = _write_conf(tmp_path, {"split_type": "temporal"})
+    with pytest.raises(ValueError, match="authoritative"):
+        get_config(conf_path, algorithm="mf", dataset_name="x",
+                   split_type="random")
+
+
+def test_all_registry_entries_build(artifact_dir):
+    """Every algorithm constructs from its minimal conf (init-only smoke)."""
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.config.schema import FeatureDefinition, FeatureType
+
+    ufd = [FeatureDefinition("gender", FeatureType.CATEGORICAL),
+           FeatureDefinition("profile_vec", FeatureType.VECTOR)]
+    ifd = [FeatureDefinition("audio", FeatureType.VECTOR),
+           FeatureDefinition("text", FeatureType.VECTOR),
+           FeatureDefinition("genres", FeatureType.TAG)]
+    train = RecDataset.load(artifact_dir, "train",
+                            user_feature_definitions=ufd,
+                            item_feature_definitions=ifd)
+    dd = train.to_device()
+    for name, spec in ALGORITHMS.items():
+        conf = MODEL_CONFS[name]
+        if spec.kind == "sgd":
+            model = spec.build(conf, train, dd)
+            assert model is not None, name
+        else:
+            alg = spec.build(conf, train)
+            assert alg is not None, name
