@@ -1,0 +1,110 @@
+"""Dataset acquisition + raw-format parsers.
+
+Parity target: `/root/reference/data/data_download_utils.py:29-312` (HTTP/
+Zenodo/GDrive downloads for MovieLens/LFM2b/Onion/AmazonVid/Amazon2024/
+DeliveryHero/KuaiRec) and the per-dataset processors
+(`/root/reference/data/ml1m/movielens1m_downloader.py`,
+`/root/reference/data/amazonvid2018/amazonvid2018_processor.py`, …).
+
+Downloading is network-gated: this build environment has zero egress, so
+`download_dataset` raises a clear error when the fetch fails, while the parsers
+(`parse_ml1m`, `parse_amazon_csv`) work on already-downloaded files and convert
+them into the pipeline's raw layout (`listening_history.csv`,
+`{entity}_features.csv`, `{entity}_{feature}.npz`).
+"""
+from __future__ import annotations
+
+import os
+import zipfile
+
+import numpy as np
+import pandas as pd
+
+DATASET_URLS = {
+    "ml100k": "https://files.grouplens.org/datasets/movielens/ml-100k.zip",
+    "ml1m": "https://files.grouplens.org/datasets/movielens/ml-1m.zip",
+    "ml10m": "https://files.grouplens.org/datasets/movielens/ml-10m.zip",
+    "amazonvid2018": ("https://jmcauley.ucsd.edu/data/amazon_v2/categoryFilesSmall/"
+                      "Video_Games.csv"),
+    # Onion/LFM2b live on Zenodo (record ids in the reference downloader);
+    # Amazon2024 on the McAuley lab site; both need interactive/API access.
+}
+
+ML1M_OCCUPATIONS = [
+    "other", "academic/educator", "artist", "clerical/admin", "college/grad student",
+    "customer service", "doctor/health care", "executive/managerial", "farmer",
+    "homemaker", "K-12 student", "lawyer", "programmer", "retired",
+    "sales/marketing", "scientist", "self-employed", "technician/engineer",
+    "tradesman/craftsman", "unemployed", "writer",
+]
+
+
+def download_dataset(name: str, out_dir: str, timeout: int = 60) -> str:
+    """Fetch + extract a dataset archive. Raises RuntimeError without network."""
+    if name not in DATASET_URLS:
+        raise ValueError(f"unknown dataset {name!r}; choose from {sorted(DATASET_URLS)}")
+    url = DATASET_URLS[name]
+    os.makedirs(out_dir, exist_ok=True)
+    target = os.path.join(out_dir, os.path.basename(url))
+    if not os.path.exists(target):
+        try:
+            import urllib.request
+
+            urllib.request.urlretrieve(url, target)  # noqa: S310
+        except Exception as e:  # zero-egress environments land here
+            raise RuntimeError(
+                f"could not download {url!r} ({e}); fetch it manually into "
+                f"{out_dir!r} and re-run") from e
+    if target.endswith(".zip"):
+        with zipfile.ZipFile(target) as zf:
+            zf.extractall(out_dir)
+    return out_dir
+
+
+def parse_ml1m(raw_dir: str, out_dir: str, min_rating: int = 3) -> str:
+    """MovieLens-1M `.dat` files → pipeline raw layout (reference
+    movielens1m_downloader.py:32-131: rating ≥ 3 binarization, occupation
+    id → label, genres as '|'-joined tags)."""
+    os.makedirs(out_dir, exist_ok=True)
+    read = dict(sep="::", engine="python", encoding="latin-1", header=None)
+    ratings = pd.read_csv(os.path.join(raw_dir, "ratings.dat"),
+                          names=["user", "item", "rating", "timestamp"], **read)
+    users = pd.read_csv(os.path.join(raw_dir, "users.dat"),
+                        names=["user", "gender", "age", "occupation", "zip"], **read)
+    movies = pd.read_csv(os.path.join(raw_dir, "movies.dat"),
+                         names=["item", "title", "genres"], **read)
+
+    lhs = ratings[ratings.rating >= min_rating][["user", "item", "timestamp"]]
+    lhs.to_csv(os.path.join(out_dir, "listening_history.csv"), index=False)
+
+    users = users.assign(
+        occupation=users.occupation.map(lambda i: ML1M_OCCUPATIONS[int(i)]))
+    users[["user", "gender", "age", "occupation"]].to_csv(
+        os.path.join(out_dir, "user_features.csv"), index=False)
+    movies[["item", "genres"]].to_csv(
+        os.path.join(out_dir, "item_features.csv"), index=False)
+
+    # optional MPNet plot embeddings produced by the plot crawler
+    # (reference movielens1m_plot_downloader.py) — copied through if present
+    plots = os.path.join(raw_dir, "features", "id_plot_mpnet.tsv")
+    if os.path.exists(plots):
+        df = pd.read_csv(plots, sep="\t", header=None)
+        np.savez(os.path.join(out_dir, "item_plot_mpnet.npz"),
+                 indices=df.iloc[:, 0].to_numpy(),
+                 values=df.iloc[:, 1:].to_numpy(dtype=np.float32))
+    return out_dir
+
+
+def parse_amazon_csv(csv_path: str, out_dir: str, min_rating: float = 3.0,
+                     year_min: int | None = None) -> str:
+    """Amazon ratings CSV (item,user,rating,timestamp) → raw layout
+    (reference amazonvid2018_processor.py / amazon2024_processor.py filters:
+    rating threshold, optional year window)."""
+    os.makedirs(out_dir, exist_ok=True)
+    df = pd.read_csv(csv_path, names=["item", "user", "rating", "timestamp"])
+    df = df[df.rating >= min_rating]
+    if year_min is not None:
+        df = df[pd.to_datetime(df.timestamp, unit="s").dt.year >= year_min]
+    df[["user", "item", "timestamp"]].to_csv(
+        os.path.join(out_dir, "listening_history.csv"), index=False)
+    return out_dir

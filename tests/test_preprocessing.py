@@ -1,0 +1,254 @@
+"""Preprocessing pipeline tests: filters, split semantics (incl. cold-start
+disjointness per the reference's diagram), normalization leakage rule, and the
+raw→artifacts→RecDataset round trip through the CLI."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sibrar_tpu.preprocessing.filtering import (
+    create_index,
+    filter_k_core,
+    filter_min_interactions,
+    filter_unique,
+)
+from sibrar_tpu.preprocessing.normalization import get_normalizer, normalize_features
+from sibrar_tpu.preprocessing.ppconfig import (
+    ColdStartType,
+    FeatureStep,
+    PPFeatureConfig,
+    PreprocessingConfig,
+    SplitConfig,
+    SplitType,
+)
+from sibrar_tpu.preprocessing.records import EntityFeatures, MultiDFeature, RawData
+from sibrar_tpu.preprocessing.splitting import split_ratio_based
+
+
+def _lhs(rows):
+    return pd.DataFrame(rows, columns=["user", "item", "timestamp"])
+
+
+def test_filter_unique_keeps_earliest():
+    lhs = _lhs([(1, 1, 5), (1, 1, 2), (2, 1, 3)])
+    out = filter_unique(lhs)
+    assert len(out) == 2
+    assert out[(out.user == 1) & (out.item == 1)].timestamp.item() == 2
+
+
+def test_min_interactions_filter():
+    lhs = _lhs([(1, 1, 0), (1, 1, 1), (1, 2, 2), (2, 1, 3)])
+    out = filter_min_interactions(lhs, 2)
+    assert set(zip(out.user, out.item)) == {(1, 1)}
+
+
+def test_k_core_converges():
+    rng = np.random.default_rng(0)
+    lhs = _lhs([(u, i, t) for t, (u, i) in enumerate(
+        zip(rng.integers(0, 30, 500), rng.integers(0, 40, 500)))])
+    out = filter_k_core(lhs, 5)
+    assert out.user.value_counts().min() >= 5
+    assert out.item.value_counts().min() >= 5
+
+
+def test_create_index_deterministic_dense():
+    lhs = _lhs([(9, 7, 1), (3, 7, 0), (9, 5, 2)])
+    indexed, user_idxs, item_idxs = create_index(lhs)
+    assert set(indexed.user_idx) == {0, 1}
+    assert set(indexed.item_idx) == {0, 1}
+    # earliest-timestamp user gets idx 0 (sorted by timestamp,user,item)
+    assert user_idxs[user_idxs.user == 3].user_idx.item() == 0
+
+
+def _raw_indexed(n_users=30, n_items=40, n=600, seed=0, with_features=True):
+    rng = np.random.default_rng(seed)
+    pairs = sorted({(int(u), int(i)) for u, i in zip(
+        rng.integers(0, n_users, n), rng.integers(0, n_items, n))})
+    lhs = _lhs([(u, i, t) for t, (u, i) in enumerate(pairs)])
+    indexed, user_idxs, item_idxs = create_index(lhs)
+    uf, itf = EntityFeatures(), EntityFeatures()
+    if with_features:
+        from sibrar_tpu.preprocessing.filtering import reindex_features
+
+        uf = EntityFeatures(multidimensional={"vec": MultiDFeature(
+            user_idxs.user.to_numpy(),
+            rng.normal(size=(len(user_idxs), 4)).astype(np.float32))})
+        itf = EntityFeatures(multidimensional={"vec": MultiDFeature(
+            item_idxs.item.to_numpy(),
+            rng.normal(size=(len(item_idxs), 4)).astype(np.float32) * 10 + 5)})
+        uf = reindex_features("user", uf, user_idxs)
+        itf = reindex_features("item", itf, item_idxs)
+    return RawData(interactions=indexed, user_features=uf, item_features=itf)
+
+
+@pytest.mark.parametrize("temporal", [True, False])
+def test_per_user_ratio_split_sizes(temporal):
+    data = _raw_indexed(with_features=False)
+    cfg = SplitConfig(ratios=[0.8, 0.1, 0.1],
+                      split_type=SplitType.TEMPORAL if temporal else SplitType.RANDOM)
+    splits = split_ratio_based(data, cfg)
+    n = len(data.interactions)
+    total = sum(len(s.interactions) for _, s in splits.items())
+    assert total == n
+    # reference sizing: per user, n_test = ceil(n*r3), n_val = ceil(n*r2)
+    for u, grp in data.interactions.groupby("user_idx"):
+        nu = len(grp)
+        n_test = int(np.ceil(nu * 0.1))
+        n_val = int(np.ceil(nu * 0.1))
+        assert len(splits.test.interactions.query("user_idx == @u")) == n_test
+        assert len(splits.val.interactions.query("user_idx == @u")) == n_val
+    if temporal:
+        # per user: max train timestamp <= min test timestamp
+        for u in data.interactions.user_idx.unique():
+            tr = splits.train.interactions.query("user_idx == @u").timestamp
+            te = splits.test.interactions.query("user_idx == @u").timestamp
+            if len(tr) and len(te):
+                assert tr.max() <= te.min()
+
+
+@pytest.mark.parametrize("cold", [ColdStartType.USER, ColdStartType.ITEM,
+                                  ColdStartType.BOTH])
+def test_cold_start_disjoint(cold):
+    data = _raw_indexed()
+    cfg = SplitConfig(ratios=[0.7, 0.15, 0.15], split_type=SplitType.COLDSTART,
+                      cold_start_type=cold)
+    splits = split_ratio_based(data, cfg)
+    tr, va, te = splits.train, splits.val, splits.test
+    if cold in (ColdStartType.USER, ColdStartType.BOTH):
+        assert not (set(tr.interactions.user_idx) & set(va.interactions.user_idx))
+        assert not (set(tr.interactions.user_idx) & set(te.interactions.user_idx))
+    if cold in (ColdStartType.ITEM, ColdStartType.BOTH):
+        assert not (set(tr.interactions.item_idx) & set(va.interactions.item_idx))
+        assert not (set(tr.interactions.item_idx) & set(te.interactions.item_idx))
+    # features restricted to split entities
+    assert set(np.asarray(te.item_features.multidimensional["vec"].indices)) \
+        <= set(te.item_indices.tolist())
+
+
+def test_normalizers_match_semantics():
+    x = np.array([[1.0], [2.0], [3.0], [10.0]])
+    std = get_normalizer("standard").fit(x)
+    np.testing.assert_allclose(std.transform(x).mean(), 0, atol=1e-7)
+    mm = get_normalizer("minmax").fit(x)
+    out = mm.transform(x)
+    assert out.min() == 0 and out.max() == 1
+    rb = get_normalizer("robust").fit(x)
+    assert np.median(rb.transform(x)) == 0
+    nr = get_normalizer("normal")
+    np.testing.assert_allclose(
+        np.linalg.norm(nr.transform(np.array([[3.0, 4.0]])), axis=1), 1.0)
+    with pytest.raises(ValueError, match="not supported"):
+        get_normalizer("zscore")
+
+
+def test_normalization_leakage_rule():
+    """Cold-start: scaler fit on train only; warm: fit on all splits."""
+    def run(split_type, cold=ColdStartType.ITEM):
+        data = _raw_indexed(seed=3)
+        cfg = PreprocessingConfig(
+            split=SplitConfig(ratios=[0.7, 0.15, 0.15], split_type=split_type,
+                              cold_start_type=cold),
+            item_features=[PPFeatureConfig(
+                "vec", normalization=[FeatureStep("standard")])],
+        )
+        splits = split_ratio_based(data, cfg.split)
+        return normalize_features(splits, cfg)
+
+    cold_splits = run(SplitType.COLDSTART)
+    tr_vals = cold_splits.train.item_features.multidimensional["vec"].values
+    te_vals = cold_splits.test.item_features.multidimensional["vec"].values
+    # train split standardized exactly against itself
+    np.testing.assert_allclose(tr_vals.mean(axis=0), 0, atol=1e-5)
+    # test split standardized with train stats → mean not exactly 0
+    assert abs(te_vals.mean()) > 1e-3
+
+    warm_splits = run(SplitType.RANDOM)
+    all_vals = warm_splits.train.item_features.multidimensional["vec"].values
+    # warm: basis is all splits, and features are shared → global mean ~ 0
+    np.testing.assert_allclose(all_vals.mean(axis=0), 0, atol=1e-5)
+
+
+def test_pipeline_cli_roundtrip(tmp_path):
+    """Raw files → preprocess CLI → artifacts → RecDataset → one train epoch."""
+    import yaml
+
+    import preprocess_dataset
+    from sibrar_tpu.config.schema import FeatureDefinition, FeatureType
+    from sibrar_tpu.data.dataset import RecDataset
+
+    rng = np.random.default_rng(7)
+    raw = tmp_path / "raw"
+    os.makedirs(raw)
+    pairs = {(int(u), int(i)) for u, i in zip(
+        rng.integers(0, 40, 900), rng.integers(0, 50, 900))}
+    pd.DataFrame(
+        [(u, i, t) for t, (u, i) in enumerate(sorted(pairs))],
+        columns=["user", "item", "timestamp"],
+    ).to_csv(raw / "listening_history.csv", index=False)
+    pd.DataFrame({"user": np.arange(40),
+                  "gender": rng.choice(["m", "f"], 40)}).to_csv(
+        raw / "user_features.csv", index=False)
+    np.savez(raw / "item_audio.npz", indices=np.arange(50),
+             values=rng.normal(size=(50, 6)).astype(np.float32))
+
+    conf = {
+        "split": {"ratios": [0.7, 0.15, 0.15], "split_type": "coldstart",
+                  "cold_start_type": "item"},
+        "interactions": {"k_core": 2},
+        "user_features": [{"name": "gender", "type": "categorical"}],
+        "item_features": [{"name": "audio", "type": "vector",
+                           "normalization": [{"kind": "standard"}]}],
+    }
+    conf_path = tmp_path / "pp.yml"
+    with open(conf_path, "w") as fh:
+        yaml.safe_dump(conf, fh)
+
+    out = tmp_path / "data"
+    preprocess_dataset.main(["-d", str(raw), "-o", str(out), "-c", str(conf_path)])
+    art = out / "cold_start_item"
+    assert (art / "used_config.yaml").exists()
+    assert (art / "listening_history_train.csv").exists()
+    assert (art / "item_train_audio.npz").exists()
+
+    ds = RecDataset.load(
+        str(art), "train",
+        user_feature_definitions=[FeatureDefinition("gender", FeatureType.CATEGORICAL)],
+        item_feature_definitions=[FeatureDefinition("audio", FeatureType.VECTOR)])
+    assert ds.split_type.value == "cold_start_item"
+    assert ds.n_interactions > 0
+
+    # end-to-end: the artifacts are trainable
+    from sibrar_tpu.config.schema import DatasetConfig, EvalConfig, LearningConfig
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.mf import SGDMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    val = RecDataset.load(
+        str(art), "val",
+        item_feature_definitions=[FeatureDefinition("audio", FeatureType.VECTOR)])
+    model = SGDMatrixFactorization(n_users=ds.n_users, n_items=ds.n_items,
+                                   embedding_dim=4)
+    ev = FullEvaluator(EvalConfig(top_k=[5]), val, evaluator_name="val")
+    tr = Trainer(model, ds, ev, LearningConfig(n_epochs=1), DatasetConfig(),
+                 batch_size=16, seed=0)
+    m = tr.train_epoch()
+    assert np.isfinite(m["train/loss"])
+
+
+def test_ml1m_parser(tmp_path):
+    from sibrar_tpu.preprocessing.downloaders import parse_ml1m
+
+    raw = tmp_path / "ml1m"
+    os.makedirs(raw)
+    with open(raw / "ratings.dat", "w") as fh:
+        fh.write("1::10::5::100\n1::11::2::101\n2::10::4::102\n")
+    with open(raw / "users.dat", "w") as fh:
+        fh.write("1::F::1::10::48067\n2::M::56::16::70072\n")
+    with open(raw / "movies.dat", "w") as fh:
+        fh.write("10::Heat (1995)::Action|Crime\n11::Sabrina (1995)::Comedy\n")
+    out = parse_ml1m(str(raw), str(tmp_path / "out"))
+    lhs = pd.read_csv(os.path.join(out, "listening_history.csv"))
+    assert len(lhs) == 2  # rating 2 filtered by >= 3 binarization
+    users = pd.read_csv(os.path.join(out, "user_features.csv"))
+    assert users.occupation.tolist() == ["K-12 student", "self-employed"]
