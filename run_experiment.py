@@ -27,6 +27,9 @@ SPLIT_TYPES = ("random", "temporal", "cold_start_user", "cold_start_item",
 
 
 def main(argv=None):
+    import logging
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
     parser = argparse.ArgumentParser(description="sibrar_tpu experiment runner")
     parser.add_argument("--algorithm", "-a", required=True,
                         choices=sorted(ALGORITHMS))

@@ -1,0 +1,137 @@
+"""Hyperparameter sweeps.
+
+Parity target: the reference's W&B sweep stack — `sweep_agent.py:12-80` (agent
+that pops hyperparameters from `wandb.config`, merges base configs, runs
+train+val+test, deletes model files of runs outside the top-N) and
+`run_agent.py:20-103` (process launcher). Two modes:
+
+- **local** (default, no external service): a self-contained random/grid search
+  driven by a sweep YAML with the same spirit as W&B sweep files —
+  ``parameters: {key.path: {values: [...] | min/max/distribution}}`` — running
+  trials sequentially in-process (one TPU ≡ one trial at a time; the
+  reference's multi-GPU process fan-out maps to launching this CLI once per
+  host/chip with a different ``--trial-offset``).
+- **wandb**: if W&B is installed and ``--wandb`` is passed, each trial is also
+  logged as a run; top-N retention mirrors the reference's cleanup.
+"""
+from __future__ import annotations
+
+import copy
+import glob
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from sibrar_tpu.config.loader import (
+    extend_by_base_configs,
+    load_config_dict,
+    nested_dict_get,
+    update_nested_dict,
+    yaml_save,
+)
+from sibrar_tpu.config.schema import ExperimentConfig, from_dict
+from sibrar_tpu.utils.misc import generate_id
+
+
+@dataclass
+class SweepConfig:
+    method: str = "random"  # 'random' | 'grid'
+    metric: str = "val/ndcg@10"
+    goal: str = "maximize"
+    n_trials: int = 20
+    keep_top_runs: int = 10
+    seed: int = 0
+    parameters: dict[str, Any] = field(default_factory=dict)
+    base_config: dict[str, Any] = field(default_factory=dict)
+
+
+def _sample_value(rng: np.random.Generator, spec: Any):
+    if not isinstance(spec, dict):
+        return spec
+    if "values" in spec:
+        return spec["values"][int(rng.integers(len(spec["values"])))]
+    if "min" in spec and "max" in spec:
+        lo, hi = spec["min"], spec["max"]
+        if spec.get("distribution") == "log_uniform":
+            return float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+        if isinstance(lo, int) and isinstance(hi, int) \
+                and spec.get("distribution", "int_uniform") == "int_uniform":
+            return int(rng.integers(lo, hi + 1))
+        return float(rng.uniform(lo, hi))
+    raise ValueError(f"cannot sample from parameter spec {spec!r}")
+
+
+def _grid_points(parameters: dict[str, Any]) -> list[dict[str, Any]]:
+    import itertools
+
+    keys, value_lists = [], []
+    for k, spec in parameters.items():
+        if not isinstance(spec, dict) or "values" not in spec:
+            raise ValueError(f"grid sweeps need explicit 'values' for {k!r}")
+        keys.append(k)
+        value_lists.append(spec["values"])
+    return [dict(zip(keys, combo)) for combo in itertools.product(*value_lists)]
+
+
+def sample_trials(sweep: SweepConfig) -> list[dict[str, Any]]:
+    if sweep.method == "grid":
+        return _grid_points(sweep.parameters)
+    rng = np.random.default_rng(sweep.seed)
+    return [
+        {k: _sample_value(rng, spec) for k, spec in sweep.parameters.items()}
+        for _ in range(sweep.n_trials)
+    ]
+
+
+def run_sweep(sweep: SweepConfig, results_base: str,
+              trial_offset: int = 0, max_trials: Optional[int] = None,
+              run_fn=None) -> list[dict]:
+    """Execute trials; returns [{trial, params, metrics, results_path}, ...],
+    best first. Applies top-N model-file retention like the reference agent
+    (sweep_agent.py:61-78)."""
+    from sibrar_tpu.experiment import run_train_val_test
+
+    run_fn = run_fn or run_train_val_test
+    trials = sample_trials(sweep)[trial_offset:]
+    if max_trials is not None:
+        trials = trials[:max_trials]
+
+    records = []
+    for t, params in enumerate(trials):
+        conf_dict = copy.deepcopy(sweep.base_config)
+        conf_dict = extend_by_base_configs(conf_dict)
+        for key, value in params.items():
+            update_nested_dict(conf_dict, key, value)
+        run_id = generate_id(postfix=f"t{trial_offset + t}")
+        conf_dict["run_id"] = run_id
+        conf_dict["results_path"] = os.path.join(results_base, run_id)
+        conf = from_dict(ExperimentConfig, conf_dict)
+        val_metrics, test_metrics = run_fn(conf)
+        records.append({
+            "trial": trial_offset + t,
+            "params": params,
+            "metrics": {**val_metrics, **test_metrics},
+            "results_path": conf.results_path,
+        })
+        yaml_save(os.path.join(results_base, "sweep_state.yml"),
+                  {"records": [{k: v for k, v in r.items()} for r in records]})
+
+    sign = 1.0 if sweep.goal == "maximize" else -1.0
+    records.sort(key=lambda r: sign * r["metrics"].get(sweep.metric, -np.inf),
+                 reverse=True)
+    # top-N retention: delete model files of runs outside the top N
+    for r in records[sweep.keep_top_runs:]:
+        for f in glob.glob(os.path.join(r["results_path"], "model.*")):
+            os.remove(f)
+    return records
+
+
+def load_sweep_config(path: str) -> SweepConfig:
+    raw = load_config_dict(path)
+    return from_dict(SweepConfig, raw)
+
+
+__all__ = ["SweepConfig", "sample_trials", "run_sweep", "load_sweep_config",
+           "nested_dict_get"]
