@@ -2,10 +2,12 @@
 
 The reference's evaluation bottleneck is the per-user-batch full-catalog scoring
 loop (`/root/reference/eval/eval.py:207-222`): einsum scores → exclusion mask →
-top-k. Here that whole chain is one jitted device program (einsum → on-device
-exclusion scatter from CSR → fused top-k), benchmarked at a realistic catalog
-scale; the baseline is the same semantic chain in eager torch (the reference's
-stack, CPU build in this image — its GPU numbers are unpublished, SURVEY.md §6).
+top-k. Here that whole chain is one jitted device program using the exact
+two-phase windowed top-k with candidate-phase exclusion (`sibrar_tpu/ops/topk.py`
+— ~2.9× over naive scatter + lax.top_k on v5e), benchmarked at a realistic
+catalog scale. The baseline is the same semantic chain in eager torch (the
+reference's stack; CPU build in this image — its GPU numbers are unpublished,
+SURVEY.md §6).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,10 +27,14 @@ ITERS = 30
 
 
 def bench_jax() -> float:
+    from sibrar_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
-    from sibrar_tpu.ops.sparse import DeviceCSR, csr_row_gather, scatter_fill_rows
+    from sibrar_tpu.ops.sparse import DeviceCSR
+    from sibrar_tpu.ops.topk import masked_topk
 
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
@@ -43,9 +49,7 @@ def bench_jax() -> float:
     @jax.jit
     def step(u):
         scores = u @ it.T
-        ecols, emask = csr_row_gather(csr, rows)
-        scores = scatter_fill_rows(scores, ecols, emask, n_cols=C, fill=-1e30)
-        return jax.lax.top_k(scores, K)
+        return masked_topk(scores, csr, rows, K, method="auto")
 
     v, i = step(u)
     v.block_until_ready()
@@ -85,7 +89,7 @@ def main():
     ours = bench_jax()
     base = bench_torch()
     print(json.dumps({
-        "metric": "full-catalog items scored/sec/chip (einsum+mask+top-k)",
+        "metric": "full-catalog items scored/sec/chip (einsum+mask+exact top-k)",
         "value": round(ours),
         "unit": "items/s",
         "vs_baseline": round(ours / base, 2) if base == base else None,

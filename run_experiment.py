@@ -30,6 +30,9 @@ def main(argv=None):
     import logging
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
+    from sibrar_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="sibrar_tpu experiment runner")
     parser.add_argument("--algorithm", "-a", required=True,
                         choices=sorted(ALGORITHMS))

@@ -195,10 +195,14 @@ class EvalConfig:
     # categorical user-feature names for per-group metric breakdowns
     group_metrics: list[str] = field(default_factory=list)
     compute_std: bool = True
+    # exact top-k strategy: auto | full | scatter | noscatter (ops/topk.py)
+    topk_method: str = "auto"
 
     def validate(self) -> None:
         if any(k <= 0 for k in self.top_k):
             raise ValueError("top_k cut-offs must be positive")
+        if self.topk_method not in ("auto", "full", "scatter", "noscatter"):
+            raise ValueError(f"unsupported topk_method {self.topk_method!r}")
 
 
 @dataclass

@@ -31,7 +31,8 @@ from sibrar_tpu.eval.metrics import (
     coverage_flags,
     user_metrics_from_hits,
 )
-from sibrar_tpu.ops.sparse import csr_contains, csr_row_gather, scatter_fill_rows
+from sibrar_tpu.ops.sparse import csr_contains
+from sibrar_tpu.ops.topk import masked_topk
 
 
 def natsort_key(s: str):
@@ -89,13 +90,13 @@ class FullEvaluator:
         k_max = self.k_max
         n_catalog = self.dataset.n_items_in_split
 
+        method = getattr(self.config, "topk_method", "auto")
+
         def eval_batch(scores: jax.Array, u_idxs: jax.Array):
-            # exclusion: set train(/val) interactions to -inf
-            # (reference eval/eval.py:219-220, but via on-device scatter)
-            excl_cols, excl_mask = csr_row_gather(data.exclude_csr, u_idxs)
-            scores = scatter_fill_rows(
-                scores, excl_cols, excl_mask, n_cols=n_catalog, fill=float(-1e30))
-            _, topk_idx = jax.lax.top_k(scores, k_max)
+            # exclusion + exact top-k in one fused fast path
+            # (reference eval/eval.py:219-222 semantics; see ops/topk.py)
+            _, topk_idx = masked_topk(
+                scores, data.exclude_csr, u_idxs, k_max, method=method)
             hits = csr_contains(data.pos_csr, u_idxs[:, None], topk_idx)
             hits = hits.astype(jnp.float32)
             n_pos = (data.pos_csr.indptr[u_idxs + 1] - data.pos_csr.indptr[u_idxs])

@@ -293,6 +293,74 @@ class Trainer:
             if self.results_path:
                 self.save(self.results_path)
 
+    # ----------------------------------------------------------- full-state resume
+    def save_checkpoint(self, path: str):
+        """Full training-state checkpoint (params + optimizer state + RNG +
+        step + best-tracking) enabling mid-training resume — a capability the
+        reference lacks entirely (SURVEY.md §5.4: best-params only, no
+        optimizer state, no resume). Uses orbax when available, else flax
+        msgpack."""
+        os.makedirs(path, exist_ok=True)
+        state = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "rng": self.state.rng,
+            "step": self.state.step,
+            "best": {
+                "params": self.best_params if self.best_params is not None
+                else self.state.params,
+                "batch_stats": self.best_batch_stats
+                if self.best_batch_stats is not None else self.state.batch_stats,
+                "value": jnp.asarray(self.best_value),
+                "epoch": jnp.asarray(self.best_epoch),
+            },
+        }
+        try:
+            import orbax.checkpoint as ocp
+
+            ckpt = ocp.PyTreeCheckpointer()
+            ckpt.save(os.path.join(os.path.abspath(path), "train_state"),
+                      state, force=True)
+        except Exception:
+            with open(os.path.join(path, "train_state.msgpack"), "wb") as fh:
+                fh.write(flax.serialization.to_bytes(state))
+
+    def load_checkpoint(self, path: str):
+        target = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "rng": self.state.rng,
+            "step": self.state.step,
+            "best": {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "value": jnp.asarray(self.best_value),
+                "epoch": jnp.asarray(self.best_epoch),
+            },
+        }
+        orbax_path = os.path.join(os.path.abspath(path), "train_state")
+        msgpack_path = os.path.join(path, "train_state.msgpack")
+        if os.path.exists(orbax_path):
+            import orbax.checkpoint as ocp
+
+            restored = ocp.PyTreeCheckpointer().restore(orbax_path, item=target)
+        elif os.path.exists(msgpack_path):
+            with open(msgpack_path, "rb") as fh:
+                restored = flax.serialization.from_bytes(target, fh.read())
+        else:
+            raise FileNotFoundError(f"no train-state checkpoint in {path!r}")
+        self.state = self.state.replace(
+            params=restored["params"], batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            rng=jnp.asarray(restored["rng"]),
+            step=jnp.asarray(restored["step"]))
+        self.best_params = restored["best"]["params"]
+        self.best_batch_stats = restored["best"]["batch_stats"]
+        self.best_value = float(restored["best"]["value"])
+        self.best_epoch = int(restored["best"]["epoch"])
+
     # ---------------------------------------------------------------- persistence
     def save(self, path: str):
         os.makedirs(path, exist_ok=True)

@@ -24,6 +24,9 @@ def main(argv=None):
     parser.add_argument("--max-trials", type=int, default=None)
     args = parser.parse_args(argv)
 
+    from sibrar_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     sweep = load_sweep_config(args.sweep_conf)
     records = run_sweep(sweep, args.results_base,
                         trial_offset=args.trial_offset,

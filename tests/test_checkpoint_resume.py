@@ -1,0 +1,51 @@
+"""Full-state checkpoint/resume tests — a capability the reference lacks
+(SURVEY.md §5.4): optimizer state + RNG + step survive a round trip and
+training continues deterministically."""
+import jax
+import numpy as np
+
+from sibrar_tpu.config.schema import DatasetConfig, EvalConfig, LearningConfig
+from sibrar_tpu.data.synthetic import make_synthetic_splits
+from sibrar_tpu.eval.evaluator import FullEvaluator
+from sibrar_tpu.models.mf import SGDMatrixFactorization
+from sibrar_tpu.train.trainer import Trainer
+
+
+def _trainer(splits, seed=0):
+    model = SGDMatrixFactorization(n_users=40, n_items=50, embedding_dim=8)
+    ev = FullEvaluator(EvalConfig(top_k=[5]), splits["val"], evaluator_name="val")
+    return Trainer(model, splits["train"], ev,
+                   LearningConfig(n_epochs=1, lr=1e-2, rec_loss="bpr"),
+                   DatasetConfig(), batch_size=32, seed=seed)
+
+
+def test_full_state_resume_is_deterministic(tmp_path):
+    splits = make_synthetic_splits(n_users=40, n_items=50, n_interactions=700,
+                                   seed=4, with_features=False)
+    a = _trainer(splits)
+    a.train_epoch()
+    a.save_checkpoint(str(tmp_path / "ckpt"))
+    a.train_epoch()  # one more epoch after saving
+    final_a = jax.tree_util.tree_leaves(a.state.params)
+
+    b = _trainer(splits)  # fresh trainer, different init path
+    b.load_checkpoint(str(tmp_path / "ckpt"))
+    assert int(b.state.step) < int(a.state.step)  # checkpoint pre-dates epoch 2
+    b.train_epoch()
+    final_b = jax.tree_util.tree_leaves(b.state.params)
+
+    for x, y in zip(final_a, final_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_checkpoint_restores_best_tracking(tmp_path):
+    splits = make_synthetic_splits(n_users=40, n_items=50, n_interactions=700,
+                                   seed=5, with_features=False)
+    a = _trainer(splits)
+    a.fit()
+    a.save_checkpoint(str(tmp_path / "ckpt"))
+    b = _trainer(splits, seed=1)
+    b.load_checkpoint(str(tmp_path / "ckpt"))
+    assert b.best_value == a.best_value
+    assert b.best_epoch == a.best_epoch
