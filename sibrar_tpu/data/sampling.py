@@ -119,6 +119,26 @@ def sample_negatives(
     raise ValueError(f"unknown negative sampling strategy {strategy!r}")
 
 
+def sample_user_positives(
+    rng: jax.Array,
+    users: jax.Array,  # [B] user ids
+    pos_csr: DeviceCSR,  # user -> positive catalog positions
+    n_pos: int,
+) -> jax.Array:
+    """Per-user sampling of `n_pos` positive items, with replacement iff the
+    user's history is shorter than `n_pos` — the on-device equivalent of the
+    reference's user-iterating `TrainUserRecDataset.__getitem__`
+    (`/root/reference/data/dataset.py:486-507`). Returns catalog positions
+    [B, n_pos] int32."""
+    starts = pos_csr.indptr[users]
+    lens = pos_csr.indptr[users + 1] - starts
+    # uniform offsets within each row; rows shorter than n_pos resample
+    offs = jax.random.randint(rng, (users.shape[0], n_pos), 0, 1 << 30)
+    offs = offs % jnp.maximum(lens, 1)[:, None]
+    pos = jnp.minimum(starts[:, None] + offs, max(pos_csr.nnz - 1, 0))
+    return pos_csr.indices[pos]
+
+
 def sample_k_modalities(
     rng: jax.Array,
     shape: tuple[int, ...],

@@ -187,7 +187,9 @@ class Trainer:
                 step=state.step + 1)
             return state, jnp.stack([total, loss, reg])
 
-        @jax.jit
+        # donate the train state: params/opt buffers update in place on device
+        # instead of doubling HBM residency every epoch
+        @partial(jax.jit, donate_argnums=(0,))
         def epoch(state: TrainState, perm):
             batches = perm[: n_batches * bs].reshape(n_batches, bs)
             state, losses = jax.lax.scan(train_step, state, batches)
@@ -287,9 +289,12 @@ class Trainer:
         if value > self.best_value:
             self.best_value = value
             self.best_epoch = epoch
-            self.best_params = jax.tree_util.tree_map(lambda x: x, self.state.params)
+            # deep copy: the epoch fn donates the train state, so aliasing
+            # state.params here would leave best_params pointing at buffers
+            # that the next epoch reuses
+            self.best_params = jax.tree_util.tree_map(jnp.copy, self.state.params)
             self.best_batch_stats = jax.tree_util.tree_map(
-                lambda x: x, self.state.batch_stats)
+                jnp.copy, self.state.batch_stats)
             if self.results_path:
                 self.save(self.results_path)
 

@@ -82,3 +82,24 @@ def test_modality_sampling_shapes_and_semantics():
     assert set(other.tolist()) == {0, 1, 3}
     # order randomized: central should appear in both slots
     assert 0.3 < (mc[:, 0] == 2).mean() < 0.7
+
+
+def test_sample_user_positives_replacement_semantics():
+    """Users with history >= n_pos sample without needing replacement; all
+    returned items are true positives (reference dataset.py:486-507)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from sibrar_tpu.ops.sparse import DeviceCSR
+    from sibrar_tpu.data.sampling import sample_user_positives
+
+    rows = [0, 0, 0, 0, 1, 2]
+    cols = [3, 5, 7, 9, 2, 4]
+    csr = DeviceCSR.from_scipy(sp.csr_matrix(
+        (np.ones(6), (rows, cols)), shape=(3, 12)))
+    users = jnp.asarray([0, 1, 2], dtype=jnp.int32)
+    out = np.asarray(sample_user_positives(jax.random.PRNGKey(0), users, csr, 3))
+    assert out.shape == (3, 3)
+    assert set(out[0]) <= {3, 5, 7, 9}
+    assert set(out[1]) == {2}  # short history -> sampled with replacement
+    assert set(out[2]) == {4}
