@@ -96,6 +96,17 @@ def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
     if spec.kind == "sgd":
         device_data = train_ds.to_device()
         model = spec.build(conf.model, train_ds, device_data)
+        train_evaluator = None
+        if conf.train_eval:  # metrics on the train interactions (reference flag)
+            train_evaluator = FullEvaluator(conf.eval, train_ds,
+                                            evaluator_name="train")
+        post_val_fn = None
+        if conf.algorithm.endswith("protomf") or conf.algorithm.endswith("protomfs"):
+            from sibrar_tpu.eval.explanations import protomf_post_val
+
+            entity = {"u": "user", "i": "item"}.get(conf.algorithm[0], "user")
+            post_val_fn = lambda params, epoch: protomf_post_val(  # noqa: E731
+                params, entity, epoch, results_dir=results_path)
         trainer = Trainer(
             model, train_ds, evaluator, conf.learn, conf.dataset,
             batch_size=conf.loader.batch_size,
@@ -104,6 +115,8 @@ def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
             results_path=results_path,
             log_fn=_log,
             device_data=device_data,
+            train_evaluator=train_evaluator,
+            post_val_fn=post_val_fn,
         )
         if conf.profile_training:
             import jax
@@ -165,6 +178,25 @@ def run_test(conf: ExperimentConfig, log_fn=None) -> dict:
     log_info_results(metrics)
     if wandb_run:
         wandb_run.finish()
+    return metrics
+
+
+def run_combine_experiment(u_run_dir: str, i_run_dir: str,
+                           split_set: str = "test") -> dict:
+    """UIProtoMFsCombine (reference enum `uiprotomfs_combine`,
+    sgd_alg.py:1088-1115): score-sum of two separately fitted runs (typically
+    UProtoMFs + IProtoMFs), evaluated without any training."""
+    from sibrar_tpu.models.protomf import UIProtoMFsCombine
+    from sibrar_tpu.utils.analysis import reload_run
+
+    u_conf, u_score = reload_run(u_run_dir)
+    i_conf, i_score = reload_run(i_run_dir)
+    eval_ds = _load_split(u_conf, split_set)
+    evaluator = FullEvaluator(u_conf.eval, eval_ds, evaluator_name=split_set)
+    combined = UIProtoMFsCombine(u_score, i_score)
+    metrics = evaluate_model(combined, evaluator,
+                             u_conf.loader.eval_batch_size)
+    log_info_results(metrics)
     return metrics
 
 

@@ -83,6 +83,8 @@ class Trainer:
         log_fn: Optional[Callable[[dict], None]] = None,
         device_data: Optional[DeviceData] = None,
         mesh=None,
+        train_evaluator: Optional[FullEvaluator] = None,
+        post_val_fn: Optional[Callable[[Any, int], dict]] = None,
     ):
         self.model = model
         self.mesh = mesh
@@ -100,6 +102,11 @@ class Trainer:
         self.seed = seed
         self.results_path = results_path
         self.log_fn = log_fn or (lambda d: None)
+        # optional metrics on the train interactions (reference trainer.py:136-137)
+        self.train_evaluator = train_evaluator
+        # optional model hook after each validation, e.g. ProtoMF prototype
+        # diagnostics (reference trainer.py:161-162; see eval/explanations.py)
+        self.post_val_fn = post_val_fn
 
         self.n_neg = dataset_conf.n_negative_samples
         self.rec_loss = build_rec_loss(
@@ -252,6 +259,12 @@ class Trainer:
         score_fn = self.make_score_fn()
         return evaluate_model(score_fn, self.val_evaluator, self.eval_batch_size)
 
+    def evaluate_on_train(self) -> dict:
+        """Metrics over the training interactions (reference `train_eval`)."""
+        assert self.train_evaluator is not None
+        score_fn = self.make_score_fn()
+        return evaluate_model(score_fn, self.train_evaluator, self.eval_batch_size)
+
     # ---------------------------------------------------------------------- fit
     def fit(self) -> dict:
         """Run the full training loop; returns the best validation metrics."""
@@ -269,6 +282,10 @@ class Trainer:
         for epoch in range(self.learn.n_epochs):
             train_metrics = self.train_epoch()
             metrics = self.validate()
+            if self.train_evaluator is not None:
+                train_metrics.update(self.evaluate_on_train())
+            if self.post_val_fn is not None:
+                metrics.update(self.post_val_fn(self.state.params, epoch) or {})
             self.log_fn({"epoch": epoch, **train_metrics, **metrics})
             value = metrics.get(key, -np.inf)
             if value > self.best_value:

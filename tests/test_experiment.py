@@ -177,3 +177,39 @@ def test_all_registry_entries_build(artifact_dir):
         else:
             alg = spec.build(conf, train)
             assert alg is not None, name
+
+
+def test_train_eval_and_post_val_hooks(tmp_path, artifact_dir):
+    """train_eval flag reports train/* metrics; ProtoMF runs post_val
+    diagnostics each epoch (reference trainer.py:136-137,161-162)."""
+    import run_experiment
+
+    logged = []
+    conf_path = _write_conf(tmp_path, {
+        "model": MODEL_CONFS["uprotomf"],
+        "results_path": str(tmp_path / "run"),
+        "train_eval": True,
+    })
+    from sibrar_tpu.config.loader import get_config
+    from sibrar_tpu.experiment import run_train_val
+
+    conf = get_config(conf_path, algorithm="uprotomf", dataset_name="x")
+    conf.dataset.dataset_path = artifact_dir
+    run_train_val(conf, log_fn=logged.append)
+    epoch_logs = [d for d in logged if d.get("epoch", -1) >= 0]
+    assert any("train/ndcg@10" in d for d in epoch_logs)
+    assert any("user_proto_sim_mean" in d for d in epoch_logs)
+
+
+def test_uiprotomfs_combine(tmp_path, artifact_dir):
+    import run_experiment
+    from sibrar_tpu.experiment import run_combine_experiment
+
+    for alg in ("uprotomfs", "iprotomfs"):
+        conf_path = _write_conf(tmp_path, {"model": MODEL_CONFS[alg],
+                                           "results_path": str(tmp_path / alg)})
+        run_experiment.main(["-a", alg, "-d", artifact_dir, "-t", "train_val",
+                             "-c", conf_path])
+    metrics = run_combine_experiment(str(tmp_path / "uprotomfs"),
+                                     str(tmp_path / "iprotomfs"))
+    assert np.isfinite(metrics["test/ndcg@10"])

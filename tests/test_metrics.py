@@ -94,3 +94,42 @@ def test_coverage_flags():
     flags = coverage_flags(topk, (2, 3), 10)
     assert float(np.asarray(flags["coverage@3"]).mean()) == 0.5  # items 0..4
     assert float(np.asarray(flags["coverage@2"]).mean()) == 0.4  # items 0,1,2,3
+
+
+def test_golden_values_hand_computed():
+    """Hand-computed golden case following the reference formulas exactly
+    (eval/metrics.py:4-128): hits at ranks 1 and 3 of 5, n_pos = 4."""
+    import jax.numpy as jnp
+    from sibrar_tpu.eval.metrics import user_metrics_from_hits
+
+    hits = jnp.asarray([[1.0, 0.0, 1.0, 0.0, 0.0]])
+    n_pos = jnp.asarray([4])
+    m = user_metrics_from_hits(hits, n_pos, (3, 5))
+    d = [1 / np.log2(r + 2) for r in range(5)]
+    # ndcg@3: DCG = d0 + d2; IDCG = d0+d1+d2 (min(4,3)=3 ideal hits)
+    np.testing.assert_allclose(
+        float(m["ndcg@3"][0]), (d[0] + d[2]) / (d[0] + d[1] + d[2]), rtol=1e-6)
+    # ndcg@5: IDCG over min(4,5)=4 ideal hits
+    np.testing.assert_allclose(
+        float(m["ndcg@5"][0]), (d[0] + d[2]) / sum(d[:4]), rtol=1e-6)
+    np.testing.assert_allclose(float(m["recall@3"][0]), 2 / 4)
+    np.testing.assert_allclose(float(m["precision@3"][0]), 2 / 3)
+    p, r = 2 / 3, 2 / 4
+    np.testing.assert_allclose(float(m["f_score@3"][0]), 2 * p * r / (p + r),
+                               rtol=1e-6)
+    assert float(m["hitrate@3"][0]) == 1.0
+    # ap@3: (prec@1·1 + prec@3·1)/min(n_pos,3) = (1 + 2/3)/3
+    np.testing.assert_allclose(float(m["ap@3"][0]), (1 + 2 / 3) / 3, rtol=1e-6)
+
+
+def test_no_positives_user_all_zero():
+    """NaN→0 rule (reference eval/metrics.py:30,96): users without positives
+    score 0 everywhere, never NaN."""
+    import jax.numpy as jnp
+    from sibrar_tpu.eval.metrics import user_metrics_from_hits
+
+    hits = jnp.zeros((1, 4))
+    m = user_metrics_from_hits(hits, jnp.asarray([0]), (4,))
+    for key, v in m.items():
+        assert float(v[0]) == 0.0, key
+        assert not np.isnan(float(v[0])), key
