@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-B = 512          # user batch
+B = 1024         # user batch (measured optimum on v5e vs 512)
 C = 100_352      # catalog size (Onion-scale), multiple of 128 lanes
 D = 256          # representation dim
 K = 100          # max metric cutoff

@@ -130,6 +130,10 @@ def run_sweep(sweep: SweepConfig, results_base: str,
 
 def load_sweep_config(path: str) -> SweepConfig:
     raw = load_config_dict(path)
+    # resolve the base_config's own `base_configs` chain against the sweep
+    # file's directory NOW — run_sweep has no file anchor later
+    if isinstance(raw.get("base_config"), dict):
+        raw["base_config"] = extend_by_base_configs(raw["base_config"], path)
     return from_dict(SweepConfig, raw)
 
 
