@@ -137,6 +137,9 @@ class RunSettings:
     device: str = "tpu"  # 'tpu' | 'cpu' (reference: 'cpu'|'cuda')
     in_tune: bool = False
     use_wandb: bool = False
+    # debug mode: trap NaNs at the op that produced them (the functional
+    # equivalent of sanitizers the reference lacks, SURVEY.md §5.2)
+    debug_nans: bool = False
 
     def validate(self) -> None:
         if self.device not in ("tpu", "cpu", "gpu"):

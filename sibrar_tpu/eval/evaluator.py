@@ -81,6 +81,7 @@ class FullEvaluator:
     def reset(self):
         self._per_user: Dict[str, list] = {}
         self._per_user_users: list = []
+        self._valid: list = []
         self._cov_flags: Dict[str, jax.Array] = {}
 
     # ------------------------------------------------------------------ build step
@@ -110,14 +111,15 @@ class FullEvaluator:
     def eval_batch(self, u_idxs: jax.Array, scores: jax.Array,
                    valid: Optional[np.ndarray] = None):
         """Accumulate one user batch. `scores` is [B, n_catalog]; `valid` masks
-        padded rows (they are excluded from every statistic)."""
+        padded rows (they are excluded from every statistic).
+
+        Results stay ON DEVICE until `get_results` — a single bulk transfer at
+        the end replaces per-batch per-metric host syncs (each device→host
+        round trip costs real latency, painfully so through remote tunnels)."""
         metrics, cov = self._eval_batch(scores, u_idxs)
-        metrics = {k: np.asarray(v) for k, v in metrics.items()}
-        u_host = np.asarray(u_idxs)
-        if valid is not None:
-            metrics = {k: v[valid] for k, v in metrics.items()}
-            u_host = u_host[valid]
-        self._per_user_users.append(u_host)
+        self._per_user_users.append(u_idxs)
+        self._valid.append(np.ones(int(u_idxs.shape[0]), bool)
+                           if valid is None else np.asarray(valid))
         for k, v in metrics.items():
             self._per_user.setdefault(k, []).append(v)
         for k, flags in cov.items():
@@ -134,10 +136,13 @@ class FullEvaluator:
         return f"{self.name}/{base}" if self.name else base
 
     def get_results(self, return_raw_results: bool = False):
-        raw = {
-            self._key(k): np.concatenate(v) for k, v in self._per_user.items()
+        # one bulk device→host transfer for everything accumulated
+        valid = np.concatenate(self._valid) if self._valid else np.zeros(0, bool)
+        fetched = jax.device_get({
+            k: jnp.concatenate(v) for k, v in self._per_user.items()
             if k.split("@")[0] in self._user_metrics
-        }
+        })
+        raw = {self._key(k): np.asarray(v)[valid] for k, v in fetched.items()}
         out = {k: float(v.mean()) for k, v in raw.items()}
         if self.config.compute_std:
             out.update({f"{k}_std": float(v.std()) for k, v in raw.items()})
@@ -148,17 +153,16 @@ class FullEvaluator:
                     out[self._key(k)] = float(np.asarray(flags).mean())
 
         if self._group_features:
-            users = np.concatenate(self._per_user_users)
+            users = np.asarray(jax.device_get(
+                jnp.concatenate(self._per_user_users)))[valid]
             for fname, feat in self._group_features.items():
                 codes = np.asarray(feat.table)[users]
                 inv = {v: k for k, v in feat.value_map.items()}
                 for code in np.unique(codes):
                     sel = codes == code
                     label = str(inv[int(code)]).lower()
-                    for mk, vals in self._per_user.items():
-                        if mk.split("@")[0] not in self._user_metrics:
-                            continue
-                        v = np.concatenate(vals)[sel]
+                    for mk, vals in fetched.items():
+                        v = np.asarray(vals)[valid][sel]
                         out[self._key(f"{fname}/{label}/{mk}")] = float(v.mean())
                         if self.config.compute_std:
                             out[self._key(f"{fname}/{label}/{mk}_std")] = float(v.std())

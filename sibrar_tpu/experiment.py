@@ -79,9 +79,17 @@ def _fit_matrix_algorithm(alg, train_ds: RecDataset):
 
 
 # ------------------------------------------------------------------------ runs
+def _apply_run_settings(conf: ExperimentConfig) -> None:
+    reproducible(conf.run_settings.seed)
+    if conf.run_settings.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
+
 def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
     """Train on train split, validate on val; returns best val metrics."""
-    reproducible(conf.run_settings.seed)
+    _apply_run_settings(conf)
     results_path = _results_path(conf)
     yaml_save(os.path.join(results_path, "conf.yml"), as_dict(conf))
 
@@ -143,7 +151,7 @@ def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
 def run_test(conf: ExperimentConfig, log_fn=None) -> dict:
     """Evaluate the saved best model on the test split
     (reference experiment_helper.py:123-149)."""
-    reproducible(conf.run_settings.seed)
+    _apply_run_settings(conf)
     results_path = _results_path(conf)
 
     spec = get_algorithm(conf.algorithm)
@@ -213,7 +221,7 @@ def run_gather(conf: ExperimentConfig, split_set: str = "test", k: int = 100,
     import jax
     import jax.numpy as jnp
 
-    reproducible(conf.run_settings.seed)
+    _apply_run_settings(conf)
     results_path = _results_path(conf)
 
     spec = get_algorithm(conf.algorithm)

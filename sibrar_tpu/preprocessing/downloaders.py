@@ -95,6 +95,47 @@ def parse_ml1m(raw_dir: str, out_dir: str, min_rating: int = 3) -> str:
     return out_dir
 
 
+def parse_onion(raw_dir: str, out_dir: str,
+                item_feature_names: list[str] = ("ivec256", "bert", "musicnn"),
+                user_feature_names: list[str] = ("gender", "age", "country"),
+                year: int | None = None, month: int | None = None) -> str:
+    """Onion/LFM raw files → pipeline raw layout (reference
+    onion1mon_downloader.py:1-136): `userid_trackid_timestamp.tsv` listening
+    events (optionally subset to year/month), `users.tsv` demographics, and
+    per-feature item files `features/id_<feat>.tsv[.bz2]` (first column = item
+    id, remaining columns = the vector)."""
+    os.makedirs(out_dir, exist_ok=True)
+    events = os.path.join(raw_dir, "userid_trackid_timestamp.tsv")
+    lhs = pd.read_csv(events, sep="\t", names=["user", "item", "timestamp"],
+                      header=0)
+    if year is not None or month is not None:
+        ts = pd.to_datetime(lhs.timestamp)
+        if year is not None:
+            lhs = lhs[ts.dt.year == int(year)]
+        if month is not None:
+            lhs = lhs[ts.dt.month == int(month)]
+    lhs = lhs.assign(timestamp=pd.to_datetime(lhs.timestamp).astype("int64") // 10**9)
+    lhs.to_csv(os.path.join(out_dir, "listening_history.csv"), index=False)
+
+    users_path = os.path.join(raw_dir, "users.tsv")
+    if os.path.exists(users_path):
+        users = pd.read_csv(users_path, sep="\t").rename(
+            columns={"user_id": "user"})
+        keep = ["user"] + [c for c in user_feature_names if c in users.columns]
+        users[keep].to_csv(os.path.join(out_dir, "user_features.csv"), index=False)
+
+    for feat in item_feature_names:
+        base = os.path.join(raw_dir, "features", f"id_{feat}.tsv")
+        path = base if os.path.exists(base) else base + ".bz2"
+        if not os.path.exists(path):
+            continue
+        df = pd.read_csv(path, sep="\t", header=None)
+        np.savez(os.path.join(out_dir, f"item_{feat}.npz"),
+                 indices=df.iloc[:, 0].to_numpy(),
+                 values=df.iloc[:, 1:].to_numpy(dtype=np.float32))
+    return out_dir
+
+
 def parse_amazon_csv(csv_path: str, out_dir: str, min_rating: float = 3.0,
                      year_min: int | None = None) -> str:
     """Amazon ratings CSV (item,user,rating,timestamp) → raw layout

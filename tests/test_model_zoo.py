@@ -27,8 +27,8 @@ def cold_item_splits():
         split_type=DatasetSplitType.COLD_START_ITEM)
 
 
-def _fit(model, splits, epochs=3, device_data=None, **learn_kw):
-    learn = LearningConfig(n_epochs=epochs, lr=5e-3, rec_loss="bpr",
+def _fit(model, splits, epochs=3, device_data=None, lr=5e-3, **learn_kw):
+    learn = LearningConfig(n_epochs=epochs, lr=lr, rec_loss="bpr",
                            max_patience=50, optimizing_metric="ndcg@10", **learn_kw)
     ev = FullEvaluator(EvalConfig(top_k=[10]), splits["val"], evaluator_name="val")
     trainer = Trainer(model, splits["train"], ev, learn, DatasetConfig(),
@@ -162,3 +162,57 @@ def test_sbnet_missing_modality_eval(splits):
         _sbnet_conf(eval_mods=["text"]), splits["train"], dd)
     assert len(model.item_module.eval_modality_ids) == 1
     _fit(model, splits, epochs=2, device_data=dd)
+
+
+def test_sbnet_beats_mf_on_cold_start_items():
+    """The paper's core claim in miniature: on cold-start items, id-embedding
+    MF cannot rank unseen items (its cold embeddings are random) while the
+    single-branch content model transfers (reference paper tables, SURVEY.md
+    §6: MF precision collapses cold). Uses a catalog large enough that chance
+    ranking cannot score well."""
+    import jax
+    import jax.numpy as jnp
+
+    from sibrar_tpu.eval.evaluator import evaluate_model
+    from sibrar_tpu.models.mf import SGDMatrixFactorization
+    from sibrar_tpu.models.sbnet import SingleBranchNet
+
+    splits = make_synthetic_splits(
+        n_users=100, n_items=400, n_interactions=9000, seed=12,
+        split_type=DatasetSplitType.COLD_START_ITEM)
+    tr, va = splits["train"], splits["val"]
+    dd = tr.to_device()
+
+    # chance-level reference on this catalog
+    ev = FullEvaluator(EvalConfig(top_k=[10]), va, evaluator_name="val")
+    n_cat = va.n_items_in_split
+    rand_res = evaluate_model(
+        lambda u: jax.random.uniform(
+            jax.random.fold_in(jax.random.PRNGKey(0), int(u[0])),
+            (u.shape[0], n_cat)), ev, 64)
+
+    mf = SGDMatrixFactorization(n_users=tr.n_users, n_items=tr.n_items,
+                                embedding_dim=16)
+    _, mf_res = _fit(mf, splits, epochs=6, device_data=dd)
+
+    conf = {
+        "shared_common_dim": 32,
+        "user": {"feature_name": "user_embedding", "embedding_dim": 32},
+        "item": {"features": [
+            {"feature_name": "audio", "feature_hidden_layers": [32]},
+            {"feature_name": "text", "feature_hidden_layers": [32]}],
+            "single_branch_hidden_layers": [64], "common_modality_dim": 32,
+            "embedding_regularization_type": "pairwise_single",
+            "regularization_weight": 0.1},
+    }
+    sb = SingleBranchNet.build_from_conf(conf, tr, dd)
+    _, sb_res = _fit(sb, splits, epochs=20, device_data=dd, lr=3e-3)
+
+    # MF ≈ chance on unseen items (its cold embeddings are untrained noise);
+    # SBNet clears both — margins sized to the synthetic generator's intrinsic
+    # cold-start ceiling (measured: rand 0.226, mf 0.243, sbnet 0.285)
+    assert abs(mf_res["val/ndcg@10"] - rand_res["val/ndcg@10"]) < 0.06
+    assert sb_res["val/ndcg@10"] > mf_res["val/ndcg@10"] + 0.03, (
+        sb_res["val/ndcg@10"], mf_res["val/ndcg@10"])
+    assert sb_res["val/ndcg@10"] > rand_res["val/ndcg@10"] + 0.04, (
+        sb_res["val/ndcg@10"], rand_res["val/ndcg@10"])
