@@ -75,7 +75,8 @@ class FullEvaluator:
                 raise ValueError(f'User feature "{fname}" is not categorical.')
             self._group_features[fname] = feat
 
-        self._eval_batch = jax.jit(self._make_eval_batch())
+        self._eval_batch_raw = self._make_eval_batch()
+        self._eval_batch = jax.jit(self._eval_batch_raw)
         self.reset()
 
     def reset(self):
@@ -178,24 +179,54 @@ def evaluate_model(
     score_fn: Callable[[jax.Array], jax.Array],
     evaluator: FullEvaluator,
     batch_size: int = 256,
+    fused: bool = True,
 ) -> dict:
     """Drive a full evaluation: `score_fn(u_idxs[B]) -> scores[B, n_catalog]`.
 
     For SGD models the caller builds `score_fn` so that item representations are
     computed once and closed over (reference eval/eval.py:207-217); for matrix
     models it is a row gather of the precomputed prediction matrix.
+
+    With `fused=True` (default) the whole evaluation — scoring, exclusion,
+    top-k, metric derivation for every user batch — runs as ONE device program
+    (`lax.map` over batches): per-batch Python dispatch and its latency vanish,
+    replacing the reference's per-batch eager loop entirely. Falls back to the
+    batched Python loop if the score_fn doesn't trace.
     """
     users = np.asarray(evaluator.data.users_in_split)
     n = len(users)
     bs = min(batch_size, max(n, 1))
-    for start in range(0, n, bs):
-        batch = users[start:start + bs]
-        valid = np.ones(len(batch), dtype=bool)
-        if len(batch) < bs:  # pad to keep shapes static for jit
-            pad = bs - len(batch)
-            batch = np.concatenate([batch, np.repeat(batch[-1:], pad)])
-            valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
+    pad = (-n) % bs
+    users_padded = np.concatenate([users, np.repeat(users[-1:], pad)]) if pad \
+        else users
+    valid = np.ones(n + pad, dtype=bool)
+    if pad:
+        valid[n:] = False
+    n_batches = len(users_padded) // bs
+
+    if fused:
+        try:
+            u_dev = jnp.asarray(users_padded, dtype=jnp.int32).reshape(n_batches, bs)
+
+            def one_batch(u):
+                scores = score_fn(u)
+                return evaluator._eval_batch_raw(scores, u)
+
+            metrics, covs = jax.lax.map(one_batch, u_dev)
+            # flatten batch structure; OR-reduce coverage across batches
+            metrics = {k: v.reshape(-1) for k, v in metrics.items()}
+            for k, flags in covs.items():
+                evaluator._cov_flags[k] = flags.any(axis=0)
+            evaluator._per_user = {k: [v] for k, v in metrics.items()}
+            evaluator._per_user_users = [jnp.asarray(users_padded, jnp.int32)]
+            evaluator._valid = [valid]
+            return evaluator.get_results()
+        except Exception:
+            evaluator.reset()  # fall back to the eager loop
+
+    for start in range(0, len(users_padded), bs):
+        batch = users_padded[start:start + bs]
         u = jnp.asarray(batch, dtype=jnp.int32)
         scores = score_fn(u)
-        evaluator.eval_batch(u, scores, valid=valid)
+        evaluator.eval_batch(u, scores, valid=valid[start:start + bs])
     return evaluator.get_results()
