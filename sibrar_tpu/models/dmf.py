@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from sibrar_tpu.data.dataset import DeviceData
 from sibrar_tpu.models.base import RecModel
-from sibrar_tpu.models.layers import InteractionVectorModule, PolyLinear, interaction_module_from
+from sibrar_tpu.models.layers import InteractionTower, interaction_tower_from
 
 
 def _l2norm(x, eps=1e-8):
@@ -23,8 +23,8 @@ def _l2norm(x, eps=1e-8):
 class DeepMatrixFactorization(RecModel):
     n_users: int
     n_items: int
-    u_spec: InteractionVectorModule  # template holding CSR shape metadata
-    i_spec: InteractionVectorModule
+    u_tower: InteractionTower  # sparse-first-layer MLP over interaction rows
+    i_tower: InteractionTower
     u_mid_layers: Sequence[int] = ()
     i_mid_layers: Sequence[int] = ()
     final_dimension: int = 64
@@ -34,26 +34,15 @@ class DeepMatrixFactorization(RecModel):
     use_output_activation_fn: bool = False
 
     def setup(self):
-        out_fn = "relu" if self.use_output_activation_fn else None
-        self.user_vectors = self.u_spec.clone(
-            normalize=self.normalize_interactions, name="user_vectors")
-        self.item_vectors = self.i_spec.clone(
-            normalize=self.normalize_interactions, name="item_vectors")
-        self.user_nn = PolyLinear(
-            [self.n_items, *self.u_mid_layers, self.final_dimension],
-            activation_fn="relu", output_fn=out_fn)
-        self.item_nn = PolyLinear(
-            [self.n_users, *self.i_mid_layers, self.final_dimension],
-            activation_fn="relu", output_fn=out_fn)
+        self.user_nn = self.u_tower.clone(name="user_nn")
+        self.item_nn = self.i_tower.clone(name="item_nn")
 
     def user_repr(self, u_idxs, train: bool = False):
-        u_vec = self.user_vectors(u_idxs)
-        u = self.user_nn(u_vec, train=train)
+        u = self.user_nn(u_idxs, train=train)
         return _l2norm(u) if self.normalize_representations else u
 
     def item_repr(self, i_idxs, train: bool = False):
-        i_vec = self.item_vectors(i_idxs)
-        i = self.item_nn(i_vec, train=train)
+        i = self.item_nn(i_idxs, train=train)
         return _l2norm(i) if self.normalize_representations else i
 
     def combine(self, u_repr, i_repr):
@@ -68,16 +57,25 @@ class DeepMatrixFactorization(RecModel):
     @staticmethod
     def build_from_conf(conf: dict, dataset, device_data: DeviceData
                         ) -> "DeepMatrixFactorization":
+        out_fn = "relu" if conf.get("use_output_activation_fn", False) else None
+        normalize = conf.get("normalize_interactions", False)
+        u_mid = tuple(conf.get("u_mid_layers", []) or [])
+        i_mid = tuple(conf.get("i_mid_layers", []) or [])
+        final = conf["final_dimension"]
         return DeepMatrixFactorization(
             n_users=dataset.n_users,
             n_items=dataset.n_items,
-            u_spec=interaction_module_from(device_data, "user"),
-            i_spec=interaction_module_from(device_data, "item"),
-            u_mid_layers=tuple(conf.get("u_mid_layers", []) or []),
-            i_mid_layers=tuple(conf.get("i_mid_layers", []) or []),
-            final_dimension=conf["final_dimension"],
+            u_tower=interaction_tower_from(
+                device_data, "user", [*u_mid, final], output_fn=out_fn,
+                normalize=normalize),
+            i_tower=interaction_tower_from(
+                device_data, "item", [*i_mid, final], output_fn=out_fn,
+                normalize=normalize),
+            u_mid_layers=u_mid,
+            i_mid_layers=i_mid,
+            final_dimension=final,
             mu=conf.get("mu", 1e-6),
-            normalize_interactions=conf.get("normalize_interactions", False),
+            normalize_interactions=normalize,
             normalize_representations=conf.get("normalize_representations", False),
             use_output_activation_fn=conf.get("use_output_activation_fn", False),
         )

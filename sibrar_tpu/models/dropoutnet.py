@@ -23,10 +23,10 @@ import jax.numpy as jnp
 from sibrar_tpu.models.base import RecModel
 from sibrar_tpu.models.layers import (
     FeatureEmbeddingModule,
-    InteractionVectorModule,
+    InteractionTower,
     PolyLinear,
     feature_module_from,
-    interaction_module_from,
+    interaction_tower_from,
 )
 
 
@@ -51,7 +51,7 @@ class DropoutNetEntity(RecModel):
     """One entity tower: pref_net(interactions) ‖ content embeddings → MLP."""
 
     entity: str
-    inter_spec: InteractionVectorModule
+    pref_tower: InteractionTower  # sparse-first-layer preference MLP
     preference_dim: int
     cont_modules: Sequence[FeatureEmbeddingModule]
     preference_layers: Sequence[int]
@@ -60,10 +60,7 @@ class DropoutNetEntity(RecModel):
     activation_fn: str = "relu"
 
     def setup(self):
-        self.interactions = self.inter_spec.clone(name="interactions")
-        self.pref_net = PolyLinear(
-            [self.preference_dim, *self.preference_layers],
-            activation_fn=self.activation_fn, output_fn=self.activation_fn)
+        self.pref_net = self.pref_tower.clone(name="pref_net")
         self.content = [m.clone(name=f"cont_{m.feature_name}")
                         for m in self.cont_modules]
         cont_dim = sum(m.output_dim for m in self.cont_modules)
@@ -73,15 +70,16 @@ class DropoutNetEntity(RecModel):
             activation_fn=self.activation_fn, output_fn=self.activation_fn)
 
     def __call__(self, idxs, train: bool = False):
-        prefs = self.interactions(idxs)  # [..., preference_dim]
+        scale = None
         if train:
             # randomly zero the preference vector per sample (cold simulation);
             # Normal vs NoPreference with equal probability, like the
-            # reference's uniform choice over the two strategies
+            # reference's uniform choice over the two strategies. Zeroing the
+            # input equals scaling the pre-bias sum of the first layer.
             key = self.make_rng("sample")
             keep = jax.random.bernoulli(key, 0.5, shape=idxs.shape)
-            prefs = prefs * keep[..., None]
-        pref = self.pref_net(prefs, train=train)
+            scale = keep[..., None].astype(jnp.float32)
+        pref = self.pref_net(idxs, train=train, scale=scale)
         cont = [m(idxs, train=train) for m in self.content]
         x = jnp.concatenate([*cont, pref], axis=-1)
         return self.net(x, train=train)
@@ -120,7 +118,10 @@ class DropoutNet(RecModel):
             pref_dim = dataset.n_items if entity == "user" else dataset.n_users
             return DropoutNetEntity(
                 entity=entity,
-                inter_spec=interaction_module_from(device_data, entity),
+                pref_tower=interaction_tower_from(
+                    device_data, entity, list(ec.preference_layers),
+                    activation_fn=ec.activation_fn,
+                    output_fn=ec.activation_fn),
                 preference_dim=pref_dim,
                 cont_modules=cont,
                 preference_layers=tuple(ec.preference_layers),

@@ -274,6 +274,101 @@ class InteractionVectorModule(nn.Module):
         return vec
 
 
+class InteractionTower(nn.Module):
+    """MLP tower over an entity's train-interaction vector, with a sparse
+    first layer.
+
+    The reference (and our dense path) feeds a densified 0/1 row of the train
+    matrix into an ``[n_cols, h]`` linear layer
+    (`/root/reference/algorithms/sgd_alg.py:1175-1181` for DMF; same pattern in
+    DropoutNet's preference net and SBNet's 'interactions' modality). Because
+    the row is 0/1, ``row @ W + b == Σ_{j ∈ row} W[j] + b`` — an embedding-bag.
+    The bag path gathers only ``L = max_row_len`` kernel rows per example
+    instead of an ``n_cols``-wide matmul: at Onion scale (100k items, histories
+    ~100) that is ~1000× less FLOPs and no ``[B, n_cols]`` densified tensor.
+
+    Statically picks bag vs densify. Measured break-even on v5e: the MXU eats
+    the dense ``[B, n_cols] @ [n_cols, h]`` matmul so fast (~2 FLOP/elem at
+    ~50 TF/s) that random-access gathers only win at extreme sparsity —
+    roughly ``max_row_len ≲ n_cols / 250``. The gate uses
+    ``256 · max_row_len ≤ n_cols`` (e.g. million-item catalogs with ≤4k-item
+    histories); everything else keeps the dense path. Both paths share
+    parameter structure (first kernel/bias + PolyLinear rest) and are
+    numerically identical.
+    """
+
+    entity: str
+    n_rows: int
+    n_cols: int
+    max_row_len: int
+    nnz: int
+    layer_sizes: Sequence[int]  # hidden sizes + output (excludes n_cols input)
+    activation_fn: str = "relu"
+    output_fn: Optional[str] = "relu"
+    normalize: bool = False  # divide the interaction row by its L2 norm
+
+    @nn.compact
+    def __call__(self, idxs, train: bool = False, scale=None):
+        """`scale` multiplies the interaction row (pre-bias) — used for
+        DropoutNet's preference dropout mask."""
+        from sibrar_tpu.ops.sparse import DeviceCSR, csr_row_gather
+
+        assert len(self.layer_sizes) >= 1
+        h = self.layer_sizes[0]
+        act = get_activation_fn(self.activation_fn)
+        kernel = self.param("kernel", kaiming_uniform_relu, (self.n_cols, h))
+        bias = self.param("bias", nn.initializers.zeros, (h,))
+
+        indptr = self.variable(
+            "tables", f"{self.entity}__inter_indptr",
+            lambda: jnp.zeros((self.n_rows + 1,), jnp.int32)).value
+        indices = self.variable(
+            "tables", f"{self.entity}__inter_indices",
+            lambda: jnp.zeros((max(self.nnz, 1),), jnp.int32)).value
+        csr = DeviceCSR(indptr=indptr, indices=indices, n_rows=self.n_rows,
+                        n_cols=self.n_cols, max_row_len=self.max_row_len)
+
+        use_bag = 256 * max(self.max_row_len, 1) <= self.n_cols
+        if use_bag:
+            cols, mask = csr_row_gather(csr, idxs)  # [..., L]
+            gathered = jnp.take(kernel, cols, axis=0)  # [..., L, h]
+            pre = (gathered * mask[..., None]).sum(axis=-2)
+            if self.normalize:
+                nnz_row = mask.sum(axis=-1, keepdims=True)
+                pre = pre / jnp.maximum(jnp.sqrt(nnz_row), 1e-8)
+        else:
+            from sibrar_tpu.ops.sparse import csr_rows_to_dense
+
+            vec = csr_rows_to_dense(csr, idxs, dtype=jnp.float32)
+            if self.normalize:
+                norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+                vec = vec / jnp.maximum(norm, 1e-8)
+            pre = vec @ kernel
+        if scale is not None:
+            pre = pre * scale
+        x = pre + bias
+        if len(self.layer_sizes) == 1:
+            out_fn = get_activation_fn(self.output_fn)
+            return out_fn(x) if out_fn is not None else x
+        x = act(x)
+        return PolyLinear(
+            list(self.layer_sizes), activation_fn=self.activation_fn,
+            output_fn=self.output_fn, name="rest")(x, train=train)
+
+
+def interaction_tower_from(device_data, entity: str, layer_sizes,
+                           activation_fn: str = "relu",
+                           output_fn: Optional[str] = "relu",
+                           normalize: bool = False) -> InteractionTower:
+    csr = (device_data.user_inter_csr if entity == "user"
+           else device_data.item_inter_csr)
+    return InteractionTower(
+        entity=entity, n_rows=csr.n_rows, n_cols=csr.n_cols,
+        max_row_len=csr.max_row_len, nnz=int(csr.indices.shape[0]),
+        layer_sizes=tuple(layer_sizes), activation_fn=activation_fn,
+        output_fn=output_fn, normalize=normalize)
+
+
 def interaction_module_from(device_data, entity: str, normalize: bool = False
                             ) -> InteractionVectorModule:
     csr = (device_data.user_inter_csr if entity == "user"

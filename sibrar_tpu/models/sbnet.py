@@ -32,10 +32,11 @@ from sibrar_tpu.models.base import RecModel
 from sibrar_tpu.models.layers import (
     Embedding,
     FeatureEmbeddingModule,
+    InteractionTower,
     InteractionVectorModule,
     PolyLinear,
     feature_module_from,
-    interaction_module_from,
+    interaction_tower_from,
 )
 from sibrar_tpu.train.losses import info_nce
 
@@ -114,17 +115,7 @@ class SingleBranchNetEntity(RecModel):
             if tmpl is None:  # '{entity}_embedding' synthetic modality
                 mods.append(Embedding(self.n_entities, self.common_modality_dim,
                                       name=f"mod_{name}"))
-            elif isinstance(tmpl, InteractionVectorModule):
-                mods.append((
-                    tmpl.clone(name=f"mod_{name}_vec"),
-                    PolyLinear(
-                        [tmpl.n_cols, *self.inter_hidden_layers,
-                         self.common_modality_dim],
-                        activation_fn=self.activation_fn,
-                        output_fn=self.activation_fn,
-                        name=f"mod_{name}_proj"),
-                ))
-            else:
+            else:  # feature module or interaction tower (sparse first layer)
                 mods.append(tmpl.clone(name=f"mod_{name}"))
         self._mods = mods
 
@@ -143,11 +134,9 @@ class SingleBranchNetEntity(RecModel):
 
     # ------------------------------------------------------------------ internals
     def _modality_projection(self, mod, idxs, train: bool):
-        if isinstance(mod, tuple):  # interactions: dense rows then projection
-            vec_mod, proj = mod
-            return proj(vec_mod(idxs), train=train)
-        return mod(idxs, train=train) if isinstance(mod, (FeatureEmbeddingModule,)) \
-            else mod(idxs)
+        if isinstance(mod, (FeatureEmbeddingModule, InteractionTower)):
+            return mod(idxs, train=train)
+        return mod(idxs)
 
     def _branch(self, x, train: bool):
         if self.normalize_single_branch_input:
@@ -287,7 +276,12 @@ class SingleBranchNet(RecModel):
             inter_hidden: tuple = ()
             for name in train_mods:
                 if name == "interactions":
-                    modules.append(interaction_module_from(device_data, entity))
+                    # sparse-first-layer tower (embedding-bag over the CSR row)
+                    modules.append(interaction_tower_from(
+                        device_data, entity,
+                        [*hidden_by_name[name], ec.common_modality_dim],
+                        activation_fn=ec.activation_fn,
+                        output_fn=ec.activation_fn))
                     inter_hidden = tuple(hidden_by_name[name])
                 elif name == f"{entity}_embedding":
                     modules.append(None)

@@ -1,0 +1,88 @@
+"""InteractionTower: sparse (embedding-bag) vs dense first layer must be
+numerically identical; the static gate picks the path by sparsity regime."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from sibrar_tpu.models.layers import InteractionTower
+from sibrar_tpu.ops.sparse import DeviceCSR
+
+
+def _tower_and_tables(n_rows, n_cols, nnz_per_row, seed=0, **kw):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n_rows), nnz_per_row)
+    cols = np.concatenate([rng.choice(n_cols, nnz_per_row, replace=False)
+                           for _ in range(n_rows)])
+    csr = DeviceCSR.from_scipy(sp.csr_matrix(
+        (np.ones(len(rows)), (rows, cols)), shape=(n_rows, n_cols)))
+    tower = InteractionTower(
+        entity="user", n_rows=n_rows, n_cols=n_cols,
+        max_row_len=csr.max_row_len, nnz=csr.nnz, **kw)
+    tables = {"user__inter_indptr": csr.indptr, "user__inter_indices": csr.indices}
+    return tower, tables, csr
+
+
+def _dense_reference(csr, idxs, kernel, bias, normalize=False, scale=None):
+    dense = np.zeros((len(idxs), csr.n_cols), np.float32)
+    for r, u in enumerate(np.asarray(idxs)):
+        dense[r, np.asarray(csr.indices[csr.indptr[u]:csr.indptr[u + 1]])] = 1.0
+    if normalize:
+        norms = np.linalg.norm(dense, axis=1, keepdims=True)
+        dense = dense / np.maximum(norms, 1e-8)
+    pre = dense @ np.asarray(kernel)
+    if scale is not None:
+        pre = pre * np.asarray(scale)
+    return np.maximum(pre + np.asarray(bias), 0.0)  # relu output_fn
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_bag_path_matches_dense_math(normalize):
+    # n_cols huge relative to row length → bag path selected
+    tower, tables, csr = _tower_and_tables(
+        12, 8192, nnz_per_row=4, layer_sizes=(16,), normalize=normalize)
+    idxs = jnp.asarray([0, 3, 7, 11], jnp.int32)
+    variables = tower.init(jax.random.PRNGKey(0), idxs)
+    variables = {"params": variables["params"], "tables": tables}
+    out = tower.apply(variables, idxs)
+    ref = _dense_reference(csr, idxs, variables["params"]["kernel"],
+                           variables["params"]["bias"], normalize=normalize)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dense_path_matches_dense_math():
+    # short catalog → dense path selected; same math
+    tower, tables, csr = _tower_and_tables(
+        12, 64, nnz_per_row=10, layer_sizes=(16,))
+    idxs = jnp.asarray([1, 2], jnp.int32)
+    variables = tower.init(jax.random.PRNGKey(0), idxs)
+    variables = {"params": variables["params"], "tables": tables}
+    out = tower.apply(variables, idxs)
+    ref = _dense_reference(csr, idxs, variables["params"]["kernel"],
+                           variables["params"]["bias"])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_scale_hook_zeroes_to_bias():
+    """scale=0 (DropoutNet preference dropout) leaves exactly the bias."""
+    tower, tables, _ = _tower_and_tables(
+        6, 8192, nnz_per_row=4, layer_sizes=(8,), output_fn=None)
+    idxs = jnp.asarray([0, 1], jnp.int32)
+    variables = tower.init(jax.random.PRNGKey(0), idxs)
+    variables = {"params": variables["params"], "tables": tables}
+    out = tower.apply(variables, idxs, scale=jnp.zeros((2, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out), np.broadcast_to(
+            np.asarray(variables["params"]["bias"]), (2, 8)), rtol=1e-6)
+
+
+def test_multi_layer_tower():
+    tower, tables, _ = _tower_and_tables(
+        6, 8192, nnz_per_row=4, layer_sizes=(16, 8), output_fn="relu")
+    idxs = jnp.asarray([0, 5], jnp.int32)
+    variables = tower.init(jax.random.PRNGKey(0), idxs)
+    variables = {"params": variables["params"], "tables": tables}
+    out = tower.apply(variables, idxs)
+    assert out.shape == (2, 8)
+    assert np.all(np.asarray(out) >= 0)
