@@ -50,10 +50,12 @@ class FullEvaluator:
         dataset: RecDataset,
         device_data: Optional[DeviceData] = None,
         evaluator_name: Optional[str] = None,
+        mesh=None,
     ):
         self.config = config
         self.name = evaluator_name
         self.dataset = dataset
+        self.mesh = mesh  # catalog-sharded top-k over the item axis when set
         self.data = device_data if device_data is not None else dataset.to_device()
 
         known = set(USER_METRICS) | set(DISTRIBUTION_METRICS)
@@ -93,12 +95,28 @@ class FullEvaluator:
         n_catalog = self.dataset.n_items_in_split
 
         method = getattr(self.config, "topk_method", "auto")
+        mesh = self.mesh
 
         def eval_batch(scores: jax.Array, u_idxs: jax.Array):
             # exclusion + exact top-k in one fused fast path
             # (reference eval/eval.py:219-222 semantics; see ops/topk.py)
-            _, topk_idx = masked_topk(
-                scores, data.exclude_csr, u_idxs, k_max, method=method)
+            if mesh is not None and mesh.shape.get("item", 1) > 1:
+                # multi-chip: exclusion scatter on the item-sharded scores,
+                # per-shard top-k + tiny candidate merge over ICI
+                from sibrar_tpu.ops.sparse import csr_row_gather, scatter_fill_rows
+                from sibrar_tpu.parallel.mesh import sharded_topk
+
+                cols, mask = csr_row_gather(data.exclude_csr, u_idxs)
+                s = scatter_fill_rows(scores, cols, mask, n_cols=n_catalog,
+                                      fill=float(-1e30))
+                n_shards = mesh.shape["item"]
+                pad = (-n_catalog) % n_shards
+                if pad:
+                    s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-1e30)
+                _, topk_idx = sharded_topk(s, k_max, mesh)
+            else:
+                _, topk_idx = masked_topk(
+                    scores, data.exclude_csr, u_idxs, k_max, method=method)
             hits = csr_contains(data.pos_csr, u_idxs[:, None], topk_idx)
             hits = hits.astype(jnp.float32)
             n_pos = (data.pos_csr.indptr[u_idxs + 1] - data.pos_csr.indptr[u_idxs])

@@ -89,3 +89,33 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_mesh_evaluator_matches_single_device():
+    """FullEvaluator(mesh=...) computes identical metrics via per-shard top-k
+    + candidate merge over the item axis."""
+    from sibrar_tpu.config.schema import DatasetConfig, EvalConfig, LearningConfig
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator, evaluate_model
+    from sibrar_tpu.models.mf import SGDMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(8)
+    splits = make_synthetic_splits(n_users=48, n_items=64, n_interactions=900,
+                                   seed=1, with_features=False)
+    model = SGDMatrixFactorization(n_users=48, n_items=64, embedding_dim=8)
+    learn = LearningConfig(n_epochs=1, rec_loss="bpr")
+
+    def run(mesh_arg):
+        ev = FullEvaluator(EvalConfig(top_k=[5, 10]), splits["val"],
+                           evaluator_name="val", mesh=mesh_arg)
+        t = Trainer(model, splits["train"], ev, learn, DatasetConfig(),
+                    batch_size=16, seed=0, mesh=mesh_arg)
+        t.train_epoch()
+        return evaluate_model(t.make_score_fn(), ev, 16)
+
+    plain = run(None)
+    sharded = run(mesh)
+    assert plain.keys() == sharded.keys()
+    for k in plain:
+        assert abs(plain[k] - sharded[k]) < 1e-5, (k, plain[k], sharded[k])
