@@ -78,6 +78,30 @@ def _fit_matrix_algorithm(alg, train_ds: RecDataset):
     alg.fit(matrix=train_ds.user_sampling_matrix, **kwargs)
 
 
+def _make_log_fn(conf: ExperimentConfig, wandb_run):
+    """Per-epoch metric sink: W&B and/or Ray Tune (reference
+    train/trainer.py:113-117,164-168 — `session.report` when `in_tune`)."""
+    sinks = []
+    if wandb_run:
+        sinks.append(wandb_run.log)
+    if conf.run_settings.in_tune:
+        try:
+            from ray.air import session
+
+            sinks.append(lambda d: session.report(
+                {k: v for k, v in d.items() if isinstance(v, (int, float))}))
+        except ImportError:
+            import logging
+
+            logging.warning("in_tune requested but ray is not installed")
+
+    def log(d: dict):
+        for sink in sinks:
+            sink(d)
+
+    return log
+
+
 # ------------------------------------------------------------------------ runs
 def _apply_run_settings(conf: ExperimentConfig) -> None:
     reproducible(conf.run_settings.seed)
@@ -99,7 +123,7 @@ def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
     evaluator = FullEvaluator(conf.eval, val_ds, evaluator_name="val")
 
     wandb_run = _maybe_wandb(conf)
-    _log = log_fn or (lambda d: wandb_run.log(d) if wandb_run else None)
+    _log = log_fn or _make_log_fn(conf, wandb_run)
 
     if spec.kind == "sgd":
         device_data = train_ds.to_device()
@@ -160,7 +184,7 @@ def run_test(conf: ExperimentConfig, log_fn=None) -> dict:
     evaluator = FullEvaluator(conf.eval, test_ds, evaluator_name="test")
 
     wandb_run = _maybe_wandb(conf)
-    _log = log_fn or (lambda d: wandb_run.log(d) if wandb_run else None)
+    _log = log_fn or _make_log_fn(conf, wandb_run)
 
     if spec.kind == "sgd":
         device_data = train_ds.to_device()

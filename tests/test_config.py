@@ -71,3 +71,27 @@ def test_config_validation():
         from_dict(EvalConfig, {"top_k": [0]})
     with pytest.raises(ValueError):
         from_dict(LearningConfig, {"lr": -1.0})
+
+
+def test_machine_paths_resolution(tmp_path, monkeypatch):
+    """Hostname→root maps from the user paths file (reference data_paths.py)."""
+    import socket
+    import yaml as _yaml
+
+    import sibrar_tpu.config.paths as paths
+
+    pf = tmp_path / "paths.yml"
+    with open(pf, "w") as fh:
+        _yaml.safe_dump({"machines": {
+            socket.gethostname(): {"data": "/mnt/data", "results": "/mnt/res"},
+            "default": {"data": "/d", "results": "/r"},
+        }}, fh)
+    monkeypatch.setattr(paths, "_PATHS_FILE", str(pf))
+    monkeypatch.delenv("SIBRAR_DATA_ROOT", raising=False)
+    assert paths.get_data_root() == "/mnt/data"
+    assert paths.get_results_root() == "/mnt/res"
+    assert paths.get_dataset_path("ml1m", "cold_start_item") == \
+        "/mnt/data/ml1m/cold_start_item"
+    # env var beats the file
+    monkeypatch.setenv("SIBRAR_DATA_ROOT", "/env")
+    assert paths.get_dataset_path("ml1m", "random").startswith("/env/")
