@@ -224,7 +224,7 @@ class RecDataset:
                 if fd.type in (FeatureType.VECTOR, FeatureType.MATRIX):
                     vals, idxs = [], []
                     for s in splits:
-                        f = os.path.join(data_path, f"{entity}_{s}_{fd.name}.npz")
+                        f = os.path.join(data_path, f"{entity}_{fd.name}_{s}.npz")
                         if os.path.exists(f):
                             loaded = np.load(f, allow_pickle=True)
                             vals.append(loaded["values"])

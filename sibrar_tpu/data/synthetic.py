@@ -164,7 +164,7 @@ def write_reference_artifacts(
 ) -> str:
     """Write splits to disk in the reference's artifact layout
     (`listening_history_{split}.csv`, `{entity}_features_{split}.csv`,
-    `{entity}_{split}_{feat}.npz`, `user_idxs.csv`, `item_idxs.csv`,
+    `{entity}_{feat}_{split}.npz`, `user_idxs.csv`, `item_idxs.csv`,
     `used_config.yaml`) so the artifact reader can be tested end-to-end."""
     import pandas as pd
     import yaml
@@ -200,7 +200,7 @@ def write_reference_artifacts(
             for name, feat in feats.items():
                 if feat.type in (FeatureType.VECTOR, FeatureType.MATRIX):
                     np.savez(
-                        os.path.join(out_dir, f"{entity}_{split}_{name}.npz"),
+                        os.path.join(out_dir, f"{entity}_{name}_{split}.npz"),
                         indices=in_split,
                         values=feat.table[in_split],
                     )

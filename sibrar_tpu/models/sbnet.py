@@ -33,7 +33,6 @@ from sibrar_tpu.models.layers import (
     Embedding,
     FeatureEmbeddingModule,
     InteractionTower,
-    InteractionVectorModule,
     PolyLinear,
     feature_module_from,
     interaction_tower_from,
@@ -88,10 +87,10 @@ class SingleBranchNetEntity(RecModel):
     entity: str
     modality_names: Sequence[str]  # train modalities, fixed order
     eval_modality_ids: Sequence[int]  # indices into modality_names used at eval
-    modality_modules: Sequence[Union[FeatureEmbeddingModule, InteractionVectorModule, None]]
-    # entry None for '{entity}_embedding' (an id-embedding), module otherwise;
-    # InteractionVectorModule entries are followed by a projection PolyLinear.
-    inter_hidden_layers: Sequence[int]  # hidden layers for interactions proj
+    modality_modules: Sequence[Union[FeatureEmbeddingModule, InteractionTower, None]]
+    # entry None for '{entity}_embedding' (an id-embedding); features use a
+    # FeatureEmbeddingModule, 'interactions' a sparse-first-layer InteractionTower
+    inter_hidden_layers: Sequence[int]  # interactions-tower hidden sizes (metadata)
     n_entities: int
     common_modality_dim: int
     output_dim: int

@@ -5,7 +5,7 @@ Layout (reference `/root/reference/data/data_preprocessing_utils.py:389-420`):
     user_idxs.csv, item_idxs.csv
     listening_history_{split}.csv          (user_idx, item_idx[, timestamp])
     {entity}_features_{split}.csv          (tabular features + {entity}_idx)
-    {entity}_{split}_{feature}.npz         (indices=…, values=…)
+    {entity}_{feature}_{split}.npz         (indices=…, values=…)
     used_config.yaml                       (split type etc., read back by RecDataset)
 """
 from __future__ import annotations
@@ -37,7 +37,7 @@ def store_split(out_dir: str, split: str, data: SplitData) -> None:
             feats.tabular.to_csv(
                 os.path.join(out_dir, f"{entity}_features_{split}.csv"), index=False)
         for name, f in feats.multidimensional.items():
-            np.savez(os.path.join(out_dir, f"{entity}_{split}_{name}.npz"),
+            np.savez(os.path.join(out_dir, f"{entity}_{name}_{split}.npz"),
                      indices=np.asarray(f.indices), values=np.asarray(f.values))
 
 

@@ -209,7 +209,7 @@ def test_pipeline_cli_roundtrip(tmp_path):
     art = out / "cold_start_item"
     assert (art / "used_config.yaml").exists()
     assert (art / "listening_history_train.csv").exists()
-    assert (art / "item_train_audio.npz").exists()
+    assert (art / "item_audio_train.npz").exists()
 
     ds = RecDataset.load(
         str(art), "train",
