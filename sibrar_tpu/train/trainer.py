@@ -237,9 +237,15 @@ class Trainer:
                     method=self.model.combine))
         return self._jit_item_repr, self._jit_score
 
-    def make_score_fn(self, params=None, batch_stats=None) -> Callable:
+    def make_score_fn(self, params=None, batch_stats=None,
+                      item_chunk: int = 8192) -> Callable:
         """Precompute catalog item reprs once, return a user-batch scorer
-        (the reference's compute-items-once eval split, eval/eval.py:207-217)."""
+        (the reference's compute-items-once eval split, eval/eval.py:207-217).
+
+        The catalog encode runs in `item_chunk`-sized pieces (lax.map) so that
+        per-item intermediates — e.g. SBNet/DMF's dense ``[chunk, n_users]``
+        interaction rows — never materialize for the whole catalog at once
+        (at 100k items × 50k users that would be ~20 GB)."""
         variables = {"params": params if params is not None else self.state.params}
         if self.state.tables:
             variables["tables"] = self.state.tables
@@ -248,7 +254,23 @@ class Trainer:
             variables["batch_stats"] = bstats
 
         item_repr_fn, score_fn = self._eval_fns()
-        i_repr = item_repr_fn(variables, self.val_evaluator.data.catalog)
+        catalog = self.val_evaluator.data.catalog
+        c = catalog.shape[0]
+        if c > item_chunk:
+            pad = (-c) % item_chunk
+            cat_p = jnp.pad(catalog, (0, pad), mode="edge") if pad else catalog
+            chunks = cat_p.reshape(-1, item_chunk)
+            if not hasattr(self, "_jit_item_repr_chunked"):
+                self._jit_item_repr_chunked = jax.jit(
+                    lambda v, ch: jax.lax.map(
+                        lambda ck: self.model.apply(
+                            v, ck, train=False, method=self.model.item_repr),
+                        ch))
+            stacked = self._jit_item_repr_chunked(variables, chunks)
+            i_repr = jax.tree_util.tree_map(
+                lambda x: x.reshape(-1, *x.shape[2:])[:c], stacked)
+        else:
+            i_repr = item_repr_fn(variables, catalog)
         # catalog-dim sharding for full-catalog scoring (SURVEY.md §5.7): the
         # [C, d] item table and the [B, C] score matrix partition on the item axis
         i_repr = jax.tree_util.tree_map(

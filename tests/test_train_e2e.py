@@ -131,3 +131,20 @@ def test_exclusion_masks_training_items(splits):
         jnp.asarray(scores), cols, mask, n_cols=tr.n_items_in_split, fill=-1e30))
     ex_mat = va.exclude_matrix()[users][:, va.items_in_split].toarray()
     assert np.all(excl[ex_mat.astype(bool)] < -1e29)
+
+
+def test_chunked_catalog_encode_matches(splits):
+    """make_score_fn(item_chunk=...) chunks the catalog encode without
+    changing scores (pads with edge ids, trims back)."""
+    model = SGDMatrixFactorization(n_users=100, n_items=120, embedding_dim=8)
+    learn = LearningConfig(n_epochs=1, lr=5e-3, rec_loss="bpr")
+    from sibrar_tpu.config.schema import DatasetConfig, EvalConfig
+    ev = FullEvaluator(EvalConfig(top_k=[10]), splits["val"], evaluator_name="val")
+    tr = Trainer(model, splits["train"], ev, learn, DatasetConfig(),
+                 batch_size=64, seed=0)
+    tr.train_epoch()
+    u = jnp.arange(16, dtype=jnp.int32)
+    full = tr.make_score_fn(item_chunk=10**9)(u)
+    chunked = tr.make_score_fn(item_chunk=32)(u)  # 120 items → 4 chunks, pad 8
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=1e-6, atol=1e-6)
