@@ -26,8 +26,13 @@ DATASET_URLS = {
     "ml10m": "https://files.grouplens.org/datasets/movielens/ml-10m.zip",
     "amazonvid2018": ("https://jmcauley.ucsd.edu/data/amazon_v2/categoryFilesSmall/"
                       "Video_Games.csv"),
-    # Onion/LFM2b live on Zenodo (record ids in the reference downloader);
-    # Amazon2024 on the McAuley lab site; both need interactive/API access.
+    "amazonvid2024": ("https://mcauleylab.ucsd.edu/public_datasets/data/amazon_2023/"
+                      "raw/review_categories/Video_Games.jsonl.gz"),
+    "kuairec": "https://kuairec.com/dataset",  # gated form download
+    "deliveryhero": ("https://huggingface.co/datasets/deliveryhero/"
+                     "dh-recommendation-dataset"),
+    # Onion/LFM2b live on Zenodo (record ids in the reference downloader;
+    # require an access token — pass the fetched files to `parse_onion`).
 }
 
 ML1M_OCCUPATIONS = [
@@ -137,15 +142,45 @@ def parse_onion(raw_dir: str, out_dir: str,
 
 
 def parse_amazon_csv(csv_path: str, out_dir: str, min_rating: float = 3.0,
-                     year_min: int | None = None) -> str:
-    """Amazon ratings CSV (item,user,rating,timestamp) → raw layout
-    (reference amazonvid2018_processor.py / amazon2024_processor.py filters:
-    rating threshold, optional year window)."""
+                     year_min: int | None = None,
+                     verified_only: bool = False) -> str:
+    """Amazon ratings CSV (item,user,rating,timestamp[,verified]) → raw layout
+    (reference amazonvid2018_processor.py / amazon2024_processor.py +
+    amazon2024_processor_verified.py filters: rating threshold, optional year
+    window, optional verified-purchase-only)."""
     os.makedirs(out_dir, exist_ok=True)
-    df = pd.read_csv(csv_path, names=["item", "user", "rating", "timestamp"])
+    head = pd.read_csv(csv_path, nrows=1, header=None)
+    names = ["item", "user", "rating", "timestamp"]
+    if head.shape[1] >= 5:
+        names.append("verified")
+    df = pd.read_csv(csv_path, names=names)
     df = df[df.rating >= min_rating]
+    if verified_only:
+        if "verified" not in df.columns:
+            raise ValueError("verified_only requires a 5th 'verified' column")
+        df = df[df.verified.astype(str).str.lower().isin(("true", "1"))]
     if year_min is not None:
         df = df[pd.to_datetime(df.timestamp, unit="s").dt.year >= year_min]
     df[["user", "item", "timestamp"]].to_csv(
         os.path.join(out_dir, "listening_history.csv"), index=False)
+    return out_dir
+
+
+def export_ecf_tag_files(tag_feature, n_items: int, out_dir: str) -> str:
+    """Write `tag_idxs.csv` + `item_tag_idxs.csv` in the reference's ECF layout
+    (reference data/ml1m/movielens1m_tag_processor.py + ECFTrainRecDataset,
+    dataset.py:469-483) from a TAG feature."""
+    os.makedirs(out_dir, exist_ok=True)
+    inv = {v: k for k, v in tag_feature.value_map.items()}
+    pd.DataFrame({"tag_idx": sorted(inv), "tag": [inv[i] for i in sorted(inv)]}
+                 ).to_csv(os.path.join(out_dir, "tag_idxs.csv"), index=False)
+    table = np.asarray(tag_feature.table)
+    rows, cols = [], []
+    for item in range(n_items):
+        for t in table[item]:
+            if t != tag_feature.padding_idx:
+                rows.append(item)
+                cols.append(int(t))
+    pd.DataFrame({"item_idx": rows, "tag_idx": cols}).to_csv(
+        os.path.join(out_dir, "item_tag_idxs.csv"), index=False)
     return out_dir

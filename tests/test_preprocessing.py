@@ -252,3 +252,46 @@ def test_ml1m_parser(tmp_path):
     assert len(lhs) == 2  # rating 2 filtered by >= 3 binarization
     users = pd.read_csv(os.path.join(out, "user_features.csv"))
     assert users.occupation.tolist() == ["K-12 student", "self-employed"]
+
+
+def test_amazon_csv_verified_filter(tmp_path):
+    from sibrar_tpu.preprocessing.downloaders import parse_amazon_csv
+
+    csv = tmp_path / "ratings.csv"
+    csv.write_text(
+        "i1,u1,5.0,100,true\n"
+        "i2,u1,4.0,200,false\n"
+        "i1,u2,2.0,300,true\n"   # below rating threshold
+        "i3,u2,5.0,400,True\n"
+    )
+    out = parse_amazon_csv(str(csv), str(tmp_path / "out"), verified_only=True)
+    lhs = pd.read_csv(os.path.join(out, "listening_history.csv"))
+    assert len(lhs) == 2  # u1/i1 and u2/i3 (unverified + low-rating dropped)
+    assert set(lhs.item) == {"i1", "i3"}
+
+    # 4-column CSV with verified_only must fail loudly
+    csv4 = tmp_path / "r4.csv"
+    csv4.write_text("i1,u1,5.0,100\n")
+    with pytest.raises(ValueError):
+        parse_amazon_csv(str(csv4), str(tmp_path / "out4"), verified_only=True)
+    # ...but works without the flag
+    out4 = parse_amazon_csv(str(csv4), str(tmp_path / "out4"))
+    assert len(pd.read_csv(os.path.join(out4, "listening_history.csv"))) == 1
+
+
+def test_export_ecf_tag_files(tmp_path):
+    from sibrar_tpu.config.schema import FeatureDefinition, FeatureType
+    from sibrar_tpu.data.feature import Feature
+    from sibrar_tpu.preprocessing.downloaders import export_ecf_tag_files
+
+    f = Feature.build(
+        FeatureDefinition("genres", FeatureType.TAG),
+        ["action|comedy", "drama", "action"], n_entities=3,
+    )
+    out = export_ecf_tag_files(f, n_items=3, out_dir=str(tmp_path))
+    tags = pd.read_csv(os.path.join(out, "tag_idxs.csv"))
+    assert tags.tag.tolist() == ["action", "comedy", "drama"]
+    it = pd.read_csv(os.path.join(out, "item_tag_idxs.csv"))
+    pairs = set(zip(it.item_idx, it.tag_idx))
+    a, c, d = (f.value_map[t] for t in ("action", "comedy", "drama"))
+    assert pairs == {(0, a), (0, c), (1, d), (2, a)}
