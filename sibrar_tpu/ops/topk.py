@@ -101,13 +101,29 @@ def masked_topk(scores: jax.Array, exclude_csr: DeviceCSR, u_idxs: jax.Array,
     - ``full``: scatter + plain `lax.top_k` (the baseline semantics).
     - ``scatter``: scatter + windowed top-k.
     - ``noscatter``: windowed top-k with candidate-phase exclusion.
-    - ``auto``: scatter for large catalogs, full for tiny ones. (The noscatter
-      variant measured ~40× slower on v5e — the candidate-phase membership
-      gathers do not vectorize well — so auto never picks it.)
+    - ``pallas``: fused retile+window-max Pallas kernel + margin-window
+      selection + finalist re-ranking exclusion (`ops/pallas_window.py`).
+      Exact, TPU only, and currently ~1.8× SLOWER than ``scatter`` end-to-end
+      (21 ms vs 11.9 ms at B=1024, C=100k, K=100, E=64 on v5e): the k+E
+      window margin inflates the final `lax.top_k` to (n=21120, k=164),
+      and XLA's top-k costs ≈ n·k·4.6 ns per 1024 rows — it dominates
+      everything. Kept as the substrate for a future in-kernel selection.
+    - ``auto``: scatter for large catalogs, full for tiny ones. (The
+      noscatter variant measured ~40× slower on v5e — the candidate-phase
+      CSR-bisection gathers do not vectorize well; pallas loses on the
+      top-k margin — so auto picks neither. W=128 is the measured optimum:
+      W=64 → 13.2 ms, W=32 → 20.9 ms on the same chain.)
     """
     c = scores.shape[-1]
     if method == "auto":
         method = "full" if (c <= 4096 or k >= c) else "scatter"
+
+    if method == "pallas":
+        from sibrar_tpu.ops.pallas_window import pallas_masked_topk_scores
+
+        cols, mask = csr_row_gather(exclude_csr, u_idxs)
+        tb = min(256, -(-scores.shape[0] // 8) * 8)  # small batches: one tile
+        return pallas_masked_topk_scores(scores, cols, mask, k, tb=tb)
 
     if method == "noscatter" and exclude_csr.max_row_len > 0:
         return windowed_topk_excluded(scores, exclude_csr, u_idxs, k)
