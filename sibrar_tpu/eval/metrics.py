@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @partial(jax.jit, static_argnames=("ks",))
@@ -87,3 +88,11 @@ def coverage_flags(topk_idx: jax.Array, ks: tuple[int, ...], n_catalog: int
         flags = flags.at[topk_idx[:, :kk].reshape(-1)].set(True)
         out[f"coverage@{k}"] = flags
     return out
+
+
+def weight_ndcg_at_k(n_pos: int, k: int = 10) -> np.ndarray:
+    """wNDCG@k rank weights: w(pos, K) = (1/log2(pos+2)) / IDCG@K over the
+    first `n_pos` ranks (reference eval/metrics.py:108-128, eq.9 of
+    ieeexplore 9514867). Returns [k] float32."""
+    discount = 1.0 / np.log2(np.arange(2, k + 2, dtype=np.float32))
+    return (discount / discount[:n_pos].sum()).astype(np.float32)

@@ -90,3 +90,65 @@ def embed_dataframe_texts(df, text_column: str, index_column: str,
     if out_path:
         store_text_feature(out_path, df.loc[mask, index_column].to_numpy(), emb)
     return emb
+
+
+def extract_title_and_year(title: str) -> tuple[str, Optional[int]]:
+    """Split "Heat (1995)" → ("Heat", 1995) (reference
+    movielens1m_plot_downloader.py:40-44)."""
+    import re
+
+    m = re.search(r"(.*)[(](\d+)[)]", title)
+    if not m:
+        return title.strip(), None
+    return m[1].strip(), int(m[2])
+
+
+def crawl_wikipedia_plots(titles: Sequence[str], cache_csv: Optional[str] = None
+                          ) -> list[str]:
+    """Wikipedia plot crawl for movie titles (reference
+    movielens1m_plot_downloader.py:14-90): search the page name, fetch the
+    page (preferring 'film' disambiguations), and regex out the Plot section.
+    Network-gated: raises a clear error when the `wikipedia` package or
+    network is unavailable; pass `cache_csv` to reuse a previous crawl
+    (mirrors the reference's `wikipedia_enriched_movies.csv` cache).
+    """
+    import os
+    import re
+
+    import pandas as pd
+
+    if cache_csv and os.path.isfile(cache_csv):
+        return pd.read_csv(cache_csv)["plot"].fillna("").tolist()
+    try:
+        import wikipedia
+    except ImportError as e:
+        raise RuntimeError(
+            "crawl_wikipedia_plots needs the `wikipedia` package and network "
+            "access; provide `cache_csv` from a previous crawl instead") from e
+
+    def plot_of(title: str) -> str:
+        names = wikipedia.search(title)
+        if not names:
+            return ""
+        try:
+            try:
+                content = str(wikipedia.page(names[0], auto_suggest=False)
+                              .content)
+            except wikipedia.DisambiguationError as exc:
+                content = ""
+                for option in exc.options:
+                    if "film" in option:
+                        content = str(wikipedia.page(option,
+                                                     auto_suggest=False)
+                                      .content)
+                        break
+        except Exception:  # noqa: BLE001 — PageError/KeyError per reference
+            return ""
+        m = re.search("Plot ==(.*?)=+ [A-Z]", content.replace("\n", ""))
+        return m.group(1) if m else ""
+
+    plots = [plot_of(t) for t in titles]
+    if cache_csv:
+        pd.DataFrame({"title": list(titles), "plot": plots}).to_csv(
+            cache_csv, index=False)
+    return plots

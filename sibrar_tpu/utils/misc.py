@@ -8,6 +8,8 @@ modality sampler, utils.py:60-90) lives on-device instead:
 """
 from __future__ import annotations
 
+import contextlib
+import io
 import logging
 import random
 import sys
@@ -83,3 +85,13 @@ class Tee:
     def flush(self):
         self._file.flush()
         self._stdout.flush()
+
+
+@contextlib.contextmanager
+def silence_stdout():
+    """Suppress stdout inside the block (reference
+    utilities/notebook_utils.py stdout silencers, used around chatty
+    third-party loaders)."""
+    sink = io.StringIO()
+    with contextlib.redirect_stdout(sink):
+        yield sink

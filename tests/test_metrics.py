@@ -2,6 +2,8 @@
 reference formulas (`/root/reference/eval/metrics.py`: binary relevance,
 NaN→0, NDCG clamp, IDCG over ideal top-k)."""
 import numpy as np
+import pandas as pd
+import pytest
 import jax.numpy as jnp
 
 from sibrar_tpu.eval.metrics import coverage_flags, user_metrics_from_hits
@@ -133,3 +135,27 @@ def test_no_positives_user_all_zero():
     for key, v in m.items():
         assert float(v[0]) == 0.0, key
         assert not np.isnan(float(v[0])), key
+
+
+def test_weight_ndcg_matches_reference_formula():
+    """Hand-check vs eval/metrics.py:108-128: w = disc / disc[:n_pos].sum()."""
+    from sibrar_tpu.eval.metrics import weight_ndcg_at_k
+
+    w = weight_ndcg_at_k(n_pos=3, k=10)
+    disc = 1.0 / np.log2(np.arange(2, 12))
+    np.testing.assert_allclose(w, disc / disc[:3].sum(), rtol=1e-6)
+    assert w.shape == (10,)
+
+
+def test_plot_crawler_cache_and_title_split(tmp_path):
+    from sibrar_tpu.preprocessing.text_features import (
+        crawl_wikipedia_plots, extract_title_and_year)
+
+    assert extract_title_and_year("Heat (1995)") == ("Heat", 1995)
+    assert extract_title_and_year("No Year Title") == ("No Year Title", None)
+    cache = tmp_path / "plots.csv"
+    pd.DataFrame({"title": ["A", "B"], "plot": ["p1", None]}).to_csv(
+        cache, index=False)
+    assert crawl_wikipedia_plots(["A", "B"], cache_csv=str(cache)) == ["p1", ""]
+    with pytest.raises(RuntimeError):
+        crawl_wikipedia_plots(["A"])  # no wikipedia package, no cache
