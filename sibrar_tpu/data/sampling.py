@@ -125,18 +125,25 @@ def sample_user_positives(
     pos_csr: DeviceCSR,  # user -> positive catalog positions
     n_pos: int,
 ) -> jax.Array:
-    """Per-user sampling of `n_pos` positive items, with replacement iff the
-    user's history is shorter than `n_pos` — the on-device equivalent of the
-    reference's user-iterating `TrainUserRecDataset.__getitem__`
-    (`/root/reference/data/dataset.py:486-507`). Returns catalog positions
-    [B, n_pos] int32."""
+    """Per-user sampling of `n_pos` positive items — the on-device equivalent
+    of the reference's user-iterating `TrainUserRecDataset.__getitem__`
+    (`/root/reference/data/dataset.py:486-507`).
+
+    Semantics differ from the reference in one documented way: offsets are
+    always drawn independently (i.e. WITH replacement), even when the user's
+    history has >= `n_pos` items — distinct sampling would need a per-row
+    permutation over ragged lengths, which doesn't vectorize on TPU; the
+    marginal distribution per drawn item is identical. Users with empty
+    histories get the sentinel -1 in every slot (instead of silently reading a
+    neighbouring row). Returns catalog positions [B, n_pos] int32."""
     starts = pos_csr.indptr[users]
     lens = pos_csr.indptr[users + 1] - starts
     # uniform offsets within each row; rows shorter than n_pos resample
     offs = jax.random.randint(rng, (users.shape[0], n_pos), 0, 1 << 30)
     offs = offs % jnp.maximum(lens, 1)[:, None]
     pos = jnp.minimum(starts[:, None] + offs, max(pos_csr.nnz - 1, 0))
-    return pos_csr.indices[pos]
+    out = pos_csr.indices[pos]
+    return jnp.where((lens > 0)[:, None], out, jnp.int32(-1))
 
 
 def sample_k_modalities(

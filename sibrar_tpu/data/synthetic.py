@@ -181,11 +181,20 @@ def write_reference_artifacts(
     }).to_csv(os.path.join(out_dir, "item_idxs.csv"), index=False)
 
     st = split_type or any_split.split_type
+    # full DataPreprocessingConfig shape (the reference parses this file with
+    # mashumaro: /root/reference/data/dataset.py:187-190 +
+    # data/preprocessing_config_classes.py:55-71 — `ratios` and `interactions`
+    # are required fields there)
     if st.is_cold_start:
         cold = st.value.replace("cold_start_", "")
-        used = {"split": {"split_type": "coldstart", "cold_start_type": cold}}
+        split_cfg = {"ratios": [0.7, 0.15, 0.15], "split_type": "coldstart",
+                     "cold_start_type": cold, "seed": seed}
     else:
-        used = {"split": {"split_type": st.value}}
+        split_cfg = {"ratios": [0.6, 0.2, 0.2], "split_type": st.value,
+                     "seed": seed}
+    used = {"split": split_cfg,
+            "interactions": {"k_core": 0, "min_n_interactions": 0},
+            "user_features": [], "item_features": []}
     with open(os.path.join(out_dir, "used_config.yaml"), "w") as fh:
         yaml.safe_dump(used, fh)
 

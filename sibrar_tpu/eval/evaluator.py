@@ -239,8 +239,16 @@ def evaluate_model(
             evaluator._per_user_users = [jnp.asarray(users_padded, jnp.int32)]
             evaluator._valid = [valid]
             return evaluator.get_results()
-        except Exception:
-            evaluator.reset()  # fall back to the eager loop
+        except (jax.errors.JAXTypeError, jax.errors.UnexpectedTracerError) as e:
+            # only trace-time failures (a score_fn that isn't jittable) may
+            # degrade to the eager loop; genuine bugs in the score path (bad
+            # shapes, NaN guards, OOM) must propagate
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fused eval path failed to trace (%s: %s); falling back to "
+                "the eager per-batch loop", type(e).__name__, e)
+            evaluator.reset()
 
     for start in range(0, len(users_padded), bs):
         batch = users_padded[start:start + bs]

@@ -149,12 +149,9 @@ def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
             device_data=device_data,
             train_evaluator=train_evaluator,
             post_val_fn=post_val_fn,
+            profile_dir=(os.path.join(results_path, "profile")
+                         if conf.profile_training else None),
         )
-        if conf.profile_training:
-            import jax
-
-            with jax.profiler.trace(os.path.join(results_path, "profile")):
-                trainer.train_epoch()
         metrics = trainer.fit()
     else:
         alg = spec.build(conf.model, train_ds)
@@ -195,6 +192,7 @@ def run_test(conf: ExperimentConfig, log_fn=None) -> dict:
             eval_batch_size=conf.loader.eval_batch_size,
             seed=conf.run_settings.seed,
             device_data=device_data,
+            init_for_training=False,  # load-only: no init compile, no optimizer
         )
         trainer.load(results_path)
         metrics = trainer.validate()
@@ -238,12 +236,23 @@ def run_train_val_test(conf: ExperimentConfig) -> tuple[dict, dict]:
     return val_metrics, test_metrics
 
 
-def run_gather(conf: ExperimentConfig, split_set: str = "test", k: int = 100,
-               out_name: Optional[str] = None) -> dict:
+def run_gather(conf: ExperimentConfig, split_set: str = "test",
+               k: Optional[int] = None, out_name: Optional[str] = None) -> dict:
     """Re-evaluate a saved model, exporting per-user raw metrics and top-k
-    indices/logits to a pickle (reference Gatherer, eval/eval.py:230-333)."""
-    import jax
+    indices/logits to a pickle (reference Gatherer, eval/eval.py:258-333).
+
+    Field parity with the reference payload: ``topk_item_indices`` /
+    ``topk_logits`` are taken AFTER masking already-interacted (train/val)
+    items to −inf (reference eval/eval.py:290-299), plus ``user_indices``,
+    ``targets``, ``n_users``, ``n_items``, ``k``, ``metrics``, ``raw_metrics``.
+    ``targets`` are (user_row, item_position) pairs of the split's positives;
+    user_row indexes into the exported ``user_indices`` order (the reference's
+    per-batch ``torch.argwhere(labels)`` rows are batch-local, which is
+    ambiguous once concatenated — global rows are the usable equivalent)."""
     import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from sibrar_tpu.ops.topk import masked_topk
 
     _apply_run_settings(conf)
     results_path = _results_path(conf)
@@ -260,7 +269,8 @@ def run_gather(conf: ExperimentConfig, split_set: str = "test", k: int = 100,
             model, train_ds, evaluator, conf.learn, conf.dataset,
             batch_size=conf.loader.batch_size,
             eval_batch_size=conf.loader.eval_batch_size,
-            seed=conf.run_settings.seed, device_data=device_data)
+            seed=conf.run_settings.seed, device_data=device_data,
+            init_for_training=False)
         trainer.load(results_path)
         score_fn = trainer.make_score_fn()
     else:
@@ -268,6 +278,8 @@ def run_gather(conf: ExperimentConfig, split_set: str = "test", k: int = 100,
         alg.load(results_path)
         score_fn = alg.score_fn(eval_ds.items_in_split)
 
+    if k is None:  # reference default: max cutoff (eval/eval.py:273)
+        k = max(conf.eval.top_k)
     k = min(k, eval_ds.n_items_in_split)
     users = np.asarray(evaluator.data.users_in_split)
     top_idx, top_logits = [], []
@@ -281,18 +293,33 @@ def run_gather(conf: ExperimentConfig, split_set: str = "test", k: int = 100,
             valid = np.concatenate([valid, np.zeros(pad, bool)])
         u = jnp.asarray(batch, dtype=jnp.int32)
         scores = score_fn(u)
-        v, i = jax.lax.top_k(scores, k)
+        # exclusion-masked top-k: exported lists must not contain train/val
+        # items (reference eval/eval.py:290-299 masks to -inf before topk)
+        v, i = masked_topk(scores, evaluator.data.exclude_csr, u, k)
         top_idx.append(np.asarray(i)[valid])
         top_logits.append(np.asarray(v)[valid])
         evaluator.eval_batch(u, scores, valid=valid)
     metrics, raw = evaluator.get_results(return_raw_results=True)
 
+    # split positives as (user_row, item_position) pairs, rows in `users` order
+    inter = eval_ds.interactions
+    pos_sp = sp.csr_matrix(
+        (np.ones(len(inter), np.int8),
+         (inter[:, 0], eval_ds.item_to_catalog[inter[:, 1]])),
+        shape=(eval_ds.n_users, eval_ds.n_items_in_split))
+    pos_coo = pos_sp[users].tocoo()
+    targets = np.stack([pos_coo.row, pos_coo.col], axis=1).astype(np.int64)
+
     payload = {
         "metrics": metrics,
         "raw_metrics": raw,
-        "users": users,
-        "top_k_indices": np.concatenate(top_idx),  # positions in items_in_split
-        "top_k_logits": np.concatenate(top_logits),
+        "user_indices": users,
+        "topk_item_indices": np.concatenate(top_idx),  # positions in items_in_split
+        "topk_logits": np.concatenate(top_logits),
+        "targets": targets,
+        "n_users": eval_ds.n_users_in_split,
+        "n_items": eval_ds.n_items_in_split,
+        "k": k,
         "items_in_split": np.asarray(eval_ds.items_in_split),
     }
     out = os.path.join(results_path, out_name or f"gather_{split_set}.pkl")

@@ -66,6 +66,24 @@ def init_model(model: nn.Module, rng: jax.Array, device_data: DeviceData,
     return populate_tables(variables, device_data)
 
 
+def init_model_abstract(model: nn.Module, rng: jax.Array, device_data: DeviceData,
+                        batch_size: int = 2, n_neg: int = 2) -> Dict[str, Any]:
+    """Structure-only init for checkpoint-restore paths: `jax.eval_shape` traces
+    `model.init` without compiling or executing it, leaves are materialized as
+    zeros, and the real feature tables are spliced in. Used by run_test /
+    run_gather, where params/batch_stats are immediately overwritten by the
+    restored checkpoint — saves one full XLA compile per test phase (minutes
+    through the TPU tunnel)."""
+    u = jnp.zeros((batch_size,), dtype=jnp.int32)
+    i = jnp.zeros((batch_size, 1 + n_neg), dtype=jnp.int32)
+    rngs = {"params": rng, "sample": jax.random.fold_in(rng, 1),
+            "dropout": jax.random.fold_in(rng, 2)}
+    abstract = jax.eval_shape(lambda r: model.init(r, u, i, train=True), rngs)
+    concrete = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), abstract)
+    return populate_tables(dict(concrete), device_data)
+
+
 def populate_tables(variables: Dict[str, Any], device_data: DeviceData) -> Dict[str, Any]:
     """Replace zero-initialized `tables` leaves with the real device tables.
 

@@ -127,7 +127,10 @@ def fused_masked_topk(u: jax.Array, items: jax.Array, excl_cols: jax.Array,
         win_ok = (jnp.arange(n_win) * window) < c
         wmax = jnp.where(win_ok[None, :], wmax, _NEG)
 
-    m = min(k + n_excl, n_win)
+    # +1 when the catalog is padded: the window straddling c contains
+    # zero-score pad items whose max can displace one real window when all
+    # true scores are negative (mirrors ops/pallas_window.window_topk_phase2)
+    m = min(k + n_excl + (1 if pad_c else 0), n_win)
     _, widx = jax.lax.top_k(wmax, m)  # [B, m]
     # gather candidate windows from the catalog-major scores
     sw = scores_t.reshape(n_win, window, bp)

@@ -30,7 +30,7 @@ from sibrar_tpu.config.schema import DatasetConfig, LearningConfig
 from sibrar_tpu.data.dataset import DeviceData, RecDataset
 from sibrar_tpu.data.sampling import sample_negatives
 from sibrar_tpu.eval.evaluator import FullEvaluator, evaluate_model
-from sibrar_tpu.models.base import collect_reg_loss, init_model
+from sibrar_tpu.models.base import collect_reg_loss, init_model, init_model_abstract
 from sibrar_tpu.parallel.mesh import batch_multiple, shard_batch, shard_catalog
 from sibrar_tpu.train.losses import build_rec_loss
 
@@ -85,6 +85,8 @@ class Trainer:
         mesh=None,
         train_evaluator: Optional[FullEvaluator] = None,
         post_val_fn: Optional[Callable[[Any, int], dict]] = None,
+        init_for_training: bool = True,
+        profile_dir: Optional[str] = None,
     ):
         self.model = model
         self.mesh = mesh
@@ -117,14 +119,23 @@ class Trainer:
             train_neg_strategy=dataset_conf.negative_sampling_strategy,
         )
         self.optimizer = build_optimizer(learn)
+        self.profile_dir = profile_dir
 
         rng = jax.random.PRNGKey(seed)
-        variables = init_model(model, rng, self.data, n_neg=self.n_neg)
+        if init_for_training:
+            variables = init_model(model, rng, self.data, n_neg=self.n_neg)
+            opt_state = self.optimizer.init(variables["params"])
+        else:
+            # load-only path (run_test / run_gather): structure via eval_shape,
+            # no init compile, no optimizer state — the checkpoint overwrites
+            # params/batch_stats right after construction
+            variables = init_model_abstract(model, rng, self.data, n_neg=self.n_neg)
+            opt_state = ()
         self.state = TrainState(
             params=variables["params"],
             tables=variables.get("tables", {}),
             batch_stats=variables.get("batch_stats", {}),
-            opt_state=self.optimizer.init(variables["params"]),
+            opt_state=opt_state,
             rng=jax.random.fold_in(rng, 7),
             step=jnp.zeros((), jnp.int32),
         )
@@ -302,7 +313,14 @@ class Trainer:
 
         patience = 0
         for epoch in range(self.learn.n_epochs):
-            train_metrics = self.train_epoch()
+            if epoch == 0 and self.profile_dir:
+                # profile the FIRST real epoch instead of running an extra one
+                # before fit() — profiled runs keep the same epoch count and
+                # RNG/step sequence as unprofiled runs of the same config
+                with jax.profiler.trace(self.profile_dir):
+                    train_metrics = self.train_epoch()
+            else:
+                train_metrics = self.train_epoch()
             metrics = self.validate()
             if self.train_evaluator is not None:
                 train_metrics.update(self.evaluate_on_train())

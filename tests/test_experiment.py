@@ -141,11 +141,60 @@ def test_gather_exports_topk(tmp_path, artifact_dir):
                          "-c", conf_path])
     with open(tmp_path / "run" / "gather_test.pkl", "rb") as fh:
         payload = pickle.load(fh)
-    n_users = len(payload["users"])
-    assert payload["top_k_indices"].shape[0] == n_users
-    assert payload["top_k_logits"].shape == payload["top_k_indices"].shape
+    n_users = len(payload["user_indices"])
+    assert payload["topk_item_indices"].shape[0] == n_users
+    assert payload["topk_logits"].shape == payload["topk_item_indices"].shape
     assert "test/ndcg@10" in payload["metrics"]
     assert payload["raw_metrics"]["test/ndcg@10"].shape == (n_users,)
+    assert payload["n_users"] == n_users
+    assert payload["k"] == payload["topk_item_indices"].shape[1]
+
+    # reference parity (eval/eval.py:290-299): exported lists must exclude
+    # already-interacted (train[/val]) items
+    import scipy.sparse as sp
+
+    from sibrar_tpu.data.dataset import RecDataset
+
+    eval_ds = RecDataset.load(artifact_dir, "test")
+    excl = eval_ds.exclude_matrix()[:, eval_ds.items_in_split].tocsr()
+    for row, u in enumerate(payload["user_indices"]):
+        banned = set(excl.indices[excl.indptr[u]:excl.indptr[u + 1]])
+        assert not banned.intersection(payload["topk_item_indices"][row])
+
+    # targets: (user_row, item_position) pairs of the split positives
+    pos = sp.csr_matrix(
+        (np.ones(len(eval_ds.interactions), np.int8),
+         (eval_ds.interactions[:, 0],
+          eval_ds.item_to_catalog[eval_ds.interactions[:, 1]])),
+        shape=(eval_ds.n_users, eval_ds.n_items_in_split))
+    assert payload["targets"].shape[1] == 2
+    u0 = payload["user_indices"][0]
+    expect0 = set(pos.indices[pos.indptr[u0]:pos.indptr[u0 + 1]])
+    got0 = set(payload["targets"][payload["targets"][:, 0] == 0, 1])
+    assert got0 == expect0
+
+
+def test_run_test_is_load_only(tmp_path, artifact_dir, monkeypatch):
+    """run_test must not re-initialize the model (init compile) or build
+    optimizer state — the load-only path restores straight into eval-shaped
+    buffers (VERDICT r1 item 9)."""
+    import run_experiment
+    import sibrar_tpu.train.trainer as trainer_mod
+
+    conf_path = _write_conf(tmp_path, {"model": MODEL_CONFS["mf"],
+                                       "results_path": str(tmp_path / "run")})
+    run_experiment.main(["-a", "mf", "-d", artifact_dir, "-t", "train_val",
+                         "-c", conf_path])
+
+    def boom(*a, **k):
+        raise AssertionError("init_model must not run in the load-only path")
+
+    monkeypatch.setattr(trainer_mod, "init_model", boom)
+    run_experiment.main(["-a", "mf", "-d", artifact_dir, "-t", "test",
+                         "-c", conf_path])
+    with open(tmp_path / "run" / "metrics_test.yml") as fh:
+        test = yaml.safe_load(fh)
+    assert np.isfinite(test["test/ndcg@10"])
 
 
 def test_cli_conflicting_split_type_errors(tmp_path, artifact_dir):
