@@ -61,6 +61,13 @@ def user_metrics_from_hits(
         hitrate = (num_hits > 0).astype(jnp.float32)
         ap_den = jnp.maximum(jnp.clip(n_pos, 0, kk), 1).astype(jnp.float32)
         ap = jnp.where(n_pos > 0, ap_num_cumsum[:, kk - 1] / ap_den, 0.0)
+        # wNDCG (eq.9 of ieeexplore 9514867, reference eval/metrics.py:108-128):
+        # per-rank weight w(pos,K) = discount(pos) / sum(discount[:n_pos]), so the
+        # per-user sum over hit ranks is DCG / IDCG@min(n_pos,k) — with binary
+        # relevance this is NDCG without the precision clamp. Wired as its own
+        # key for parity with the reference metric surface.
+        wndcg = jnp.where(idcg > 0, dcg / idcg, 0.0)
+        out[f"wndcg@{k}"] = wndcg
         out[f"ndcg@{k}"] = ndcg
         out[f"recall@{k}"] = recall
         out[f"precision@{k}"] = precision
@@ -70,7 +77,7 @@ def user_metrics_from_hits(
     return out
 
 
-USER_METRICS = ("ndcg", "recall", "precision", "f_score", "hitrate", "ap")
+USER_METRICS = ("ndcg", "wndcg", "recall", "precision", "f_score", "hitrate", "ap")
 DISTRIBUTION_METRICS = ("coverage",)
 
 

@@ -28,11 +28,31 @@ DATASET_URLS = {
                       "Video_Games.csv"),
     "amazonvid2024": ("https://mcauleylab.ucsd.edu/public_datasets/data/amazon_2023/"
                       "raw/review_categories/Video_Games.jsonl.gz"),
-    "kuairec": "https://kuairec.com/dataset",  # gated form download
+    "kuairec": "https://kuairec.com/dataset",  # gdrive id below
     "deliveryhero": ("https://huggingface.co/datasets/deliveryhero/"
-                     "dh-recommendation-dataset"),
-    # Onion/LFM2b live on Zenodo (record ids in the reference downloader;
-    # require an access token — pass the fetched files to `parse_onion`).
+                     "dh-recommendation-dataset"),  # gdrive id below
+    "lfm2b": "http://www.cp.jku.at/datasets/LFM-2b/recsys22/listening_events.tsv.bz2",
+    "onion": "https://zenodo.org/records/6609677",
+}
+
+# LFM2b 2020 subset (reference data_download_utils.py:17-19): three bz2 TSVs.
+LFM2B_2020_FILES = {
+    "inter_dataset.tsv": ("http://www.cp.jku.at/datasets/LFM-2b/recsys22/"
+                          "listening_events.tsv.bz2"),
+    "users.tsv": "http://www.cp.jku.at/datasets/LFM-2b/recsys22/users.tsv.bz2",
+    "tracks.tsv": "http://www.cp.jku.at/datasets/LFM-2b/recsys22/tracks.tsv.bz2",
+}
+
+# Onion Zenodo record (reference data_download_utils.py:20,164-198). Files are
+# fetched straight off the record's file bucket; a personal access token is
+# only needed while the record is restricted.
+ONION_ZENODO_RECORD = "6609677"
+ONION_ZENODO_BUCKET = f"https://zenodo.org/records/{ONION_ZENODO_RECORD}/files"
+
+# Google-Drive-hosted archives (reference data_download_utils.py:25-26).
+GDRIVE_FILE_IDS = {
+    "deliveryhero": "1v-FfCbLtv02EpNpopDx25EQnHZeT1nL2",
+    "kuairec": "1qe5hOSBxzIuxBb1G_Ih5X-O65QElollE",
 }
 
 ML1M_OCCUPATIONS = [
@@ -64,6 +84,100 @@ def download_dataset(name: str, out_dir: str, timeout: int = 60) -> str:
         with zipfile.ZipFile(target) as zf:
             zf.extractall(out_dir)
     return out_dir
+
+
+def _fetch(url: str, timeout: int = 120) -> bytes:
+    """One HTTP GET, network-gated with a zero-egress-friendly error."""
+    try:
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=timeout) as r:  # noqa: S310
+            return r.read()
+    except Exception as e:
+        raise RuntimeError(
+            f"could not download {url!r} ({e}); fetch it manually and re-run"
+        ) from e
+
+
+def _soft_write_bz2(url: str, target: str, force: bool = False) -> None:
+    """Download a .bz2 file and store it decompressed (reference
+    data_download_utils.py:134-141 `soft_download_bz2`)."""
+    import bz2
+
+    if os.path.exists(target) and not force:
+        return
+    with open(target, "wb") as fw:
+        fw.write(bz2.decompress(_fetch(url)))
+
+
+def download_lfm2b_2020(save_path: str = "./", force: bool = False) -> str:
+    """LFM2b 2020 subset: listening events + users + tracks TSVs, decompressed
+    into `<save_path>/raw_dataset/` (reference data_download_utils.py:75-104
+    `download_lfm2b_2020_dataset`, byte-identical output layout)."""
+    raw = os.path.join(save_path, "raw_dataset")
+    os.makedirs(raw, exist_ok=True)
+    for fname, url in LFM2B_2020_FILES.items():
+        _soft_write_bz2(url, os.path.join(raw, fname), force)
+    return raw
+
+
+def download_onion(save_path: str = "./",
+                   feature_names: tuple[str, ...] = ("ivec256",),
+                   access_token: str | None = None,
+                   force: bool = False,
+                   skip_listening_history: bool = False) -> str:
+    """Onion dataset off Zenodo record 6609677 (reference
+    data_download_utils.py:164-198 `download_onion_dataset`): the interaction
+    TSV + per-feature `features/id_<feat>.tsv` files (bz2-decompressed on the
+    fly), plus LFM2b `users.tsv` demographics. Uses the record's public file
+    bucket directly instead of the zenodopy client; `access_token` is appended
+    while the record is restricted."""
+    raw = os.path.join(save_path, "raw_dataset")
+    feat_dir = os.path.join(raw, "features")
+    os.makedirs(feat_dir, exist_ok=True)
+
+    def zenodo_url(fname: str) -> str:
+        url = f"{ONION_ZENODO_BUCKET}/{fname}?download=1"
+        return url + f"&token={access_token}" if access_token else url
+
+    if not skip_listening_history:
+        _soft_write_bz2(zenodo_url("userid_trackid_timestamp.tsv.bz2"),
+                        os.path.join(raw, "userid_trackid_timestamp.tsv"), force)
+    _soft_write_bz2(LFM2B_2020_FILES["users.tsv"],
+                    os.path.join(raw, "users.tsv"), force)
+    names = [feature_names] if isinstance(feature_names, str) else feature_names
+    for feat in names:
+        _soft_write_bz2(zenodo_url(f"id_{feat}.tsv.bz2"),
+                        os.path.join(feat_dir, f"id_{feat}.tsv"), force)
+    return raw
+
+
+def download_gdrive_dataset(name: str, save_path: str = "./") -> str:
+    """KuaiRec / DeliveryHero-SG zip archives hosted on Google Drive
+    (reference data_download_utils.py:201-266). Uses `gdown` when available,
+    else the uc?export=download endpoint (fails for large gated files —
+    the error tells the user to fetch manually)."""
+    if name not in GDRIVE_FILE_IDS:
+        raise ValueError(f"no gdrive id for {name!r}; choose from {sorted(GDRIVE_FILE_IDS)}")
+    file_id = GDRIVE_FILE_IDS[name]
+    os.makedirs(save_path, exist_ok=True)
+    target = os.path.join(save_path, "dataset.zip")
+    if not os.path.exists(target):
+        try:
+            import gdown  # optional; not in this image
+
+            gdown.download(id=file_id, output=target)
+        except ImportError:
+            data = _fetch(f"https://drive.google.com/uc?export=download&id={file_id}")
+            if data.lstrip()[:1] == b"<":
+                raise RuntimeError(
+                    f"gdrive file {file_id} needs the gdown confirm flow; "
+                    f"install gdown or download it manually to {target!r}")
+            with open(target, "wb") as fw:
+                fw.write(data)
+    with zipfile.ZipFile(target) as zf:
+        zf.extractall(save_path)
+    return save_path
 
 
 def parse_ml1m(raw_dir: str, out_dir: str, min_rating: int = 3) -> str:

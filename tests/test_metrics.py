@@ -147,6 +147,31 @@ def test_weight_ndcg_matches_reference_formula():
     assert w.shape == (10,)
 
 
+def test_wndcg_golden_vs_reference_weights():
+    """wndcg@k must equal the sum of the reference eq.9 rank weights over the
+    hit ranks (reference eval/metrics.py:108-128: metric = Σ_hit w(pos, K))."""
+    import jax.numpy as jnp
+    from sibrar_tpu.eval.metrics import user_metrics_from_hits, weight_ndcg_at_k
+
+    hits = np.array([[1.0, 0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0],
+                     [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                     [0.0] * 10])
+    n_pos = np.array([4, 15, 0])
+    m = user_metrics_from_hits(jnp.asarray(hits), jnp.asarray(n_pos), (10,))
+    for row in range(3):
+        w = weight_ndcg_at_k(n_pos=int(n_pos[row]), k=10) if n_pos[row] else \
+            np.zeros(10, np.float32)
+        expected = float((w * hits[row]).sum())
+        np.testing.assert_allclose(float(m["wndcg@10"][row]), expected,
+                                   rtol=1e-5, err_msg=f"user {row}")
+
+
+def test_wndcg_selectable_in_evaluator_config():
+    from sibrar_tpu.eval.metrics import USER_METRICS
+
+    assert "wndcg" in USER_METRICS
+
+
 def test_plot_crawler_cache_and_title_split(tmp_path):
     from sibrar_tpu.preprocessing.text_features import (
         crawl_wikipedia_plots, extract_title_and_year)

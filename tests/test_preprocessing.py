@@ -279,6 +279,51 @@ def test_amazon_csv_verified_filter(tmp_path):
     assert len(pd.read_csv(os.path.join(out4, "listening_history.csv"))) == 1
 
 
+def test_lfm2b_onion_download_paths(tmp_path, monkeypatch):
+    """Zero-egress-safe checks of the Zenodo/LFM2b download plumbing
+    (reference data_download_utils.py:29-312 parity): the URL/record table
+    covers every reference dataset, existing files are never re-fetched, and
+    fetches are bz2-decompressed into the reference's raw layout."""
+    import bz2
+
+    from sibrar_tpu.preprocessing import downloaders as dl
+
+    # complete acquisition table: one entry per reference dataset
+    for name in ("ml100k", "ml1m", "ml10m", "amazonvid2018", "amazonvid2024",
+                 "kuairec", "deliveryhero", "lfm2b", "onion"):
+        assert name in dl.DATASET_URLS, name
+    assert dl.ONION_ZENODO_RECORD == "6609677"
+    assert set(dl.GDRIVE_FILE_IDS) == {"kuairec", "deliveryhero"}
+    assert set(dl.LFM2B_2020_FILES) == {"inter_dataset.tsv", "users.tsv",
+                                        "tracks.tsv"}
+
+    fetched: list[str] = []
+    monkeypatch.setattr(dl, "_fetch",
+                        lambda url, timeout=120: fetched.append(url)
+                        or bz2.compress(b"col\t1\n"))
+    out = dl.download_lfm2b_2020(str(tmp_path / "lfm"))
+    assert sorted(os.listdir(out)) == ["inter_dataset.tsv", "tracks.tsv",
+                                       "users.tsv"]
+    assert open(os.path.join(out, "users.tsv")).read() == "col\t1\n"
+    n = len(fetched)
+    dl.download_lfm2b_2020(str(tmp_path / "lfm"))  # soft: no re-download
+    assert len(fetched) == n
+
+    out = dl.download_onion(str(tmp_path / "onion"),
+                            feature_names=("ivec256", "bert"),
+                            access_token="tok")
+    assert os.path.exists(os.path.join(out, "userid_trackid_timestamp.tsv"))
+    assert os.path.exists(os.path.join(out, "features", "id_ivec256.tsv"))
+    assert os.path.exists(os.path.join(out, "features", "id_bert.tsv"))
+    zurls = [u for u in fetched if "zenodo.org" in u]
+    assert all(dl.ONION_ZENODO_RECORD in u and "token=tok" in u for u in zurls)
+
+    # without network the gate raises a clear RuntimeError
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="manually"):
+        dl._fetch("http://127.0.0.1:1/none", timeout=1)
+
+
 def test_export_ecf_tag_files(tmp_path):
     from sibrar_tpu.config.schema import FeatureDefinition, FeatureType
     from sibrar_tpu.data.feature import Feature
