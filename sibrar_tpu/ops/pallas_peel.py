@@ -1,46 +1,64 @@
-"""Throughput-oriented exact top-k selection: vectorized window peeling.
+"""Throughput-oriented exact top-k selection: vectorized value peeling.
 
-This is the "future throughput-shaped selection kernel" that rounds 1's
+This is the "future throughput-shaped selection kernel" that round 1's
 latency-bound iterative extraction (`ops/pallas_topk.py`) pointed at. The
 round-1 kernel extracted one element per user per round through a serial
-scalar chain (≈94 ms at B=1024 — no cross-user ILP). Here the extraction is
-restructured so that EVERY op is a full-width VPU vector op across
-users × windows simultaneously:
+scalar chain (≈94 ms at B=1024 — no cross-user ILP). Two measured findings
+(v5e stage bisect, tools/probe_peel_stages.py) shape this design:
+
+- restructured as full-width VPU ops over ``[rows=B·m, W=128]`` tiles (one
+  window per row, all users×windows in parallel), a 16-round extraction
+  WITH per-round argmax costs ~8 ms — the int argmin/mask chains dominate;
+- the same peel extracting **values only** (clear-all-ties per round, no
+  index tracking) costs **~0.4 ms**. So indices are recovered OUTSIDE the
+  kernel, only for the k winners.
+
+Pipeline:
 
 1. window phase (existing kernels, `ops/pallas_window.py`): scores land in
    the `[NW, B, W]` windowed tiling with per-window maxima as a free epilogue;
 2. select the top-``m = k + E (+1)`` windows per user by raw window max
    (covering theorem with exclusion margin, see `ops/topk.py`);
-3. gather them window-major: ``[m, B, W]`` — a free reshape away from
-   ``[m·B, W]`` rows, one 128-lane window per row;
+3. gather them user-major (``[B, m, W]``, kernel below) so every downstream
+   reshape is a free row-major view;
 4. mask the excluded lanes of the gathered windows with a batched one-hot
-   MXU matmul (``[E, m] @ [E, W]`` per user — ~2.7 GFLOP at B=1024/E=64, no
-   scalarized scatter, no [B, C] pass). Exclusion MUST happen before the
-   peel: excluded train items score high and cluster in id space (popular
-   ids adjoin), so they would otherwise eat a window's peel budget and force
-   the fallback for exactly the users the margin exists for;
-5. **peel kernel**: ``t`` rounds of (row-max → min-index-of-max → mask) over
-   ``[R, W]`` tiles. Every round is ~5 vector ops on full vregs — all rows
-   peel in parallel, the only serial chain is the t≤16 rounds themselves;
-6. merged exact top-k over the ``m·t`` peeled candidates per user (a
-   `lax.top_k` at n = m·t ≪ m·W);
-7. **exactness check**: the peel is complete for a user iff no window's last
-   (t-th) peeled value beats the merged k-th value — any unpeeled element
-   is ≤ its window's t-th value. If any user fails (post-exclusion window
-   occupancy > t), a `lax.cond` branch recomputes the whole batch with the
-   dense scatter + `lax.top_k` path. Exactness is unconditional; ``t`` only
-   tunes the fallback rate (occupancy of the global top-k over ≥k windows
-   is ≈ Poisson(1), so P(any window > 16) is negligible for
-   non-adversarial score layouts).
+   MXU matmul (``[E, m] @ [E, W]`` per user — no scalarized scatter, no
+   [B, C] pass). Exclusion MUST happen before the peel: excluded train items
+   score high and cluster in id space (popular ids adjoin), so they would
+   otherwise eat a window's peel budget and force the fallback for exactly
+   the users the margin exists for;
+5. **value-peel kernel**: ``t`` rounds of (row-max → clear ALL tied lanes)
+   → the top-t *distinct* values per window, ~17 vector ops/round/vreg;
+6. merged `lax.top_k` over the ``m·t`` peeled values per user (n = m·t ≪
+   m·W — this replaces the dominating (n=m·W, k) top-k of the scatter path);
+7. **index recovery for the k winners only**: gather each winner's window row
+   ([B,k,m] one-hot matmul — MXU), take the min lane equal to the winner
+   value, and count equal lanes in the same pass;
+8. **exactness checks** feeding one `lax.cond` dense fallback for the whole
+   batch: (a) completeness — no window's t-th distinct value beats the
+   merged k-th value (any unpeeled element is strictly below its window's
+   t-th distinct value); (b) uniqueness — every winner matched exactly one
+   lane in its window (an in-window duplicate of a winner value is an
+   element the distinct-value merge under-counted). Exactness is therefore
+   unconditional; t only tunes the fallback rate (top-k occupancy over ≥k
+   windows is ≈ Poisson(1): P(any window > 16) is negligible for
+   non-adversarial layouts, and real score duplicates are razor-thin).
 
 Replaces the reference's eval ranking `scores[mask] = -inf → torch.topk`
 (`/root/reference/eval/eval.py:219-222`) as the production TPU path.
 
-Measured v5e-1, B=1024, C=100352, D=256, K=100, E=64 (see bench.py /
-tests/test_pallas_peel.py for exactness): the scatter + windowed-`lax.top_k`
-path runs ~12.2 ms/step end-to-end; this path replaces the dominating
-(n=12800, k=100) `lax.top_k` (≈5.9 ms) and the scatter pass with the peel
-kernel + an (n=m·t, k) top-k.
+Measured v5e-1, B=1024, C=100352, D=256, K=100, E=64 (tools/probe_peel*.py;
+hardware parity checks bit-exact):
+
+- scatter + windowed lax.top_k (r1 production): 11.96 ms — of which the XLA
+  exclusion scatter alone is 4.2 ms and the (n=12800, k=100) top-k ~4.5 ms;
+- peel on precomputed scores (`masked_topk(method="peel")`, the `auto`
+  choice on TPU): **~8 ms** (12.3–13.0e9 items/s) — no scatter (exclusion
+  rides the window margin + one-hot masks), no retile (window maxima are a
+  free-view XLA reduce, windows gathered straight off [B, C] with
+  `pl.multiple_of`-aligned dynamic lane slices);
+- fused matmul→top-k (`peel_masked_topk`, t=12): **6.4 ms**
+  (16.1e9 items/s).
 """
 from __future__ import annotations
 
@@ -50,37 +68,34 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from sibrar_tpu.ops.pallas_window import (
-    score_windows,
-    window_scores_from,
-)
+from sibrar_tpu.ops.pallas_window import score_windows
 from sibrar_tpu.ops.sparse import scatter_fill_rows
 
 _NEG = -1e30
 _PEELED = float("-inf")  # strictly below any live score incl. the -1e30 mask
 
 
-# ------------------------------------------------------------------ peel kernel
-def _peel_kernel(x_ref, vals_ref, lanes_ref, *, t: int, w: int):
+# ---------------------------------------------------------- value-peel kernel
+def _peel_values_kernel(x_ref, vals_ref, *, t: int):
     cur = x_ref[...]  # [R, W] — one 128-lane window per row
-    lane_iota = lax.broadcasted_iota(jnp.int32, cur.shape, 1)
-    vcols, lcols = [], []
+    vcols = []
     for r in range(t):  # static unroll; every op is a full-width vector op
         v = cur.max(axis=1, keepdims=True)  # [R, 1]
-        li = jnp.min(jnp.where(cur == v, lane_iota, w), axis=1, keepdims=True)
         vcols.append(v)
-        lcols.append(li)
         if r + 1 < t:
-            cur = jnp.where(lane_iota == li, _PEELED, cur)
-    vals_ref[...] = jnp.concatenate(vcols, axis=1)  # [R, t]
-    lanes_ref[...] = jnp.concatenate(lcols, axis=1)
+            cur = jnp.where(cur == v, _PEELED, cur)  # clear ALL tied lanes
+    vals_ref[...] = jnp.concatenate(vcols, axis=1)  # [R, t] distinct, desc
 
 
 @functools.partial(jax.jit, static_argnames=("t", "rows_per_block", "interpret"))
-def peel_rows(x: jax.Array, t: int, *, rows_per_block: int = 512,
-              interpret: bool = False) -> tuple[jax.Array, jax.Array]:
-    """Per-row top-``t`` (values + lane indices, descending, min-index ties)
-    of ``x [R, W]`` — W must be a 128 multiple (one window per row)."""
+def peel_values(x: jax.Array, t: int, *, rows_per_block: int = 512,
+                interpret: bool = False) -> jax.Array:
+    """Top-``t`` *distinct* values per row of ``x [R, W]``, descending
+    (-inf-padded once a row runs out of distinct values). W % 128 == 0.
+
+    rows_per_block=512 measured 5× faster than 64 on v5e for this values-only
+    kernel (fewer grid steps; the float max/mask chains don't pressure the
+    vreg file the way the indexed variant's int chains did)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -92,23 +107,18 @@ def peel_rows(x: jax.Array, t: int, *, rows_per_block: int = 512,
     pad = (-r_total) % rb
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=_PEELED)
-    kernel = functools.partial(_peel_kernel, t=t, w=w)
-    vals, lanes = pl.pallas_call(
+    kernel = functools.partial(_peel_values_kernel, t=t)
+    vals = pl.pallas_call(
         kernel,
         grid=((r_total + pad) // rb,),
         in_specs=[pl.BlockSpec((rb, w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((rb, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((r_total + pad, t), jnp.float32),
-            jax.ShapeDtypeStruct((r_total + pad, t), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((rb, t), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_total + pad, t), jnp.float32),
         interpret=interpret,
     )(x.astype(jnp.float32))
-    return vals[:r_total], lanes[:r_total]
+    return vals[:r_total]
 
 
 # -------------------------------------------------------- user-major gather
@@ -127,9 +137,8 @@ def gather_windows_rows(sw_t: jax.Array, widx: jax.Array, *, gb: int = 8,
                         interpret: bool = False) -> jax.Array:
     """``out[b, j, :] = sw_t[widx[b, j], b, :]`` — user-major variant of
     `pallas_window.gather_windows`. The [B, m, W] output is row-major in
-    (user, window) so BOTH downstream views are free byte-reinterpretations:
-    ``[B·m, W]`` peel rows and ``[B, m·T]`` merged candidates — no
-    plane↔sublane relayout, no transposes anywhere in the pipeline."""
+    (user, window) so the ``[B·m, W]`` peel-row view is a free byte
+    reinterpretation — no plane↔sublane relayout, no transposes anywhere."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -155,23 +164,106 @@ def gather_windows_rows(sw_t: jax.Array, widx: jax.Array, *, gb: int = 8,
     )(widx, sw_t)
 
 
+# ----------------------------------------------- direct [B, C] window gather
+def _gather_cols_kernel(widx_ref, s_ref, out_ref, *, m: int, gb: int,
+                        w: int):
+    from jax.experimental import pallas as pl
+
+    def body(j, carry):
+        for bb in range(gb):  # static unroll over the user group
+            off = pl.multiple_of(widx_ref[bb, j] * w, w)  # provably aligned
+            out_ref[bb, j, :] = s_ref[bb, pl.ds(off, w)]
+        return carry
+
+    lax.fori_loop(0, m, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "gb", "interpret"))
+def gather_score_windows(scores: jax.Array, widx: jax.Array, *, w: int = 128,
+                         gb: int = 8, interpret: bool = False) -> jax.Array:
+    """``out[b, j, :] = scores[b, widx[b,j]*w : (widx[b,j]+1)*w]`` straight
+    off the [B, C] score matrix: the lane offsets are dynamic but provably
+    128-aligned (`pl.multiple_of`), which Mosaic accepts — so the windowed
+    [NW, B, W] retile pass (an extra 2×[B,C] HBM round trip) is not needed
+    at all on this path."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, c = scores.shape
+    m = widx.shape[1]
+    if b % gb:
+        gb = b
+    if c % w or w % 128:
+        raise ValueError(f"shape misalignment: C={c}%{w}, W={w}%128")
+    kernel = functools.partial(_gather_cols_kernel, m=m, gb=gb, w=w)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, m), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, m, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, w), jnp.float32),
+        interpret=interpret,
+    )(widx, scores)
+
+
+# ------------------------------------------------------- winner-row gather
+def _gather_sub_kernel(slot_ref, g_ref, out_ref, *, kk: int, gb: int):
+    def body(s, carry):
+        for bb in range(gb):  # static unroll over the user group
+            out_ref[bb, s, :] = g_ref[bb, slot_ref[bb, s], :]
+        return carry
+
+    lax.fori_loop(0, kk, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("gb", "interpret"))
+def gather_subwindows(g: jax.Array, slots: jax.Array, *, gb: int = 8,
+                      interpret: bool = False) -> jax.Array:
+    """``out[b, s, :] = g[b, slots[b, s], :]`` — winner-row fetch from the
+    already-gathered (and dead-masked) [B, m, W] window tensor: one ~86 MB
+    pass instead of re-reading the full [B, C] scores, and the exclusion
+    masking comes along for free."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, m, w = g.shape
+    kk = slots.shape[1]
+    if b % gb:
+        gb = b
+    kernel = functools.partial(_gather_sub_kernel, kk=kk, gb=gb)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, kk), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb, m, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, kk, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, kk, w), jnp.float32),
+        interpret=interpret,
+    )(slots, g)
+
+
 # ------------------------------------------------------------- orchestration
-def _onehot_f32(idx: jax.Array, n: int) -> jax.Array:
-    return (idx[..., None] == jnp.arange(n, dtype=idx.dtype)).astype(jnp.float32)
+def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
+                 nw: int, w: int, fallback_fn, *, t: int,
+                 interpret: bool) -> tuple[jax.Array, jax.Array]:
+    """Shared peel pipeline: window selection → gather → pre-peel exclusion →
+    value peel → merged top-k → winner-only index recovery → exactness
+    checks with a `lax.cond` dense fallback.
 
-
-def peel_topk_windows(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
-                      excl_mask: jax.Array, k: int, c_real: int, *,
-                      t: int = 16, interpret: bool = False
-                      ) -> tuple[jax.Array, jax.Array]:
-    """Exact top-k (+ per-user exclusion) from windowed scores via peeling.
-
+    ``gather_fn(widx [B, m]) -> [B, m, W]`` must return bit-exact score rows.
     All index motion avoids XLA element gathers (which scalarize at
-    ~20 ns/element on TPU): peeled lane indices come out of the kernel as
-    dense tensors and the final position→id mapping runs as tiny one-hot
-    matmuls (exact for ids < 2**24 in f32).
+    ~20 ns/element on TPU); winner window ids use an integer one-hot
+    contraction (a float einsum would ride the MXU's lossy bf16 passes).
     """
-    nw, b, w = sw_t.shape
+    b = wmax.shape[0]
     e = excl_cols.shape[1]
     padded = nw * w > c_real
     if padded:  # fully-padded tail windows can't win
@@ -179,11 +271,9 @@ def peel_topk_windows(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
         wmax = jnp.where(win_ok[None, :], wmax, _NEG)
     m = min(k + e + (1 if padded else 0), nw)
     t = min(t, w)
-    if m * t < k:
-        raise ValueError(f"m*t = {m}*{t} < k = {k}: peel cannot cover top-k")
 
     _, widx = lax.top_k(wmax, m)  # [B, m] raw-max window selection
-    g = gather_windows_rows(sw_t, widx, interpret=interpret)  # [B, m, W]
+    g = gather_fn(widx)  # [B, m, W]
 
     # pre-peel exclusion: mask each user's excluded lanes within the selected
     # windows. oh_s[b,e,s]·oh_l[b,e,l] sums over e into a [B, m, W] hit mask —
@@ -202,47 +292,94 @@ def peel_topk_windows(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
         pad_dead = gid >= c_real
         dead = pad_dead if dead is None else (dead | pad_dead)
     if dead is not None:
-        g = jnp.where(dead, _NEG, g)
+        g = jnp.where(dead, _PEELED, g)
 
-    # [B, m, W] is (user, window)-row-major: both views below are free
-    vals_r, lanes_r = peel_rows(g.reshape(b * m, w), t, interpret=interpret)
-    vals = vals_r.reshape(b, m, t)
-    lanes = lanes_r.reshape(b, m, t)
-    mvals = vals.reshape(b, m * t)
+    # [B, m, W] is (user, window)-row-major: the peel-row view is free
+    vals = peel_values(g.reshape(b * m, w), t,
+                       interpret=interpret).reshape(b, m, t)
 
     kk = min(k, c_real)
-    v, p = lax.top_k(mvals, kk)  # n = m·t ≪ m·W
-    # position → (window slot, peel round) → catalog id via one-hot matmuls
-    wslot = p // t
-    oh_m = _onehot_f32(wslot, m)  # [B, kk, m]
-    widx_sel = jnp.einsum("bkm,bm->bk", oh_m, widx.astype(jnp.float32))
-    lanes_by_round = jnp.einsum("bkm,bmr->bkr", oh_m,
-                                lanes.astype(jnp.float32))  # [B, kk, t]
-    oh_r = _onehot_f32(p % t, t)
-    lane_sel = jnp.sum(oh_r * lanes_by_round, axis=-1)  # [B, kk]
-    idx = (widx_sel * w + lane_sel).astype(jnp.int32)
+    v, p = lax.top_k(vals.reshape(b, m * t), kk)  # n = m·t ≪ m·W
 
-    # exactness check: any unpeeled element of window slot s is ≤ its raw t-th
-    # peeled value, so if no slot's t-th raw value beats the merged k-th value,
-    # nothing better than the chosen k was left behind (ties arbitrary).
-    ok = jnp.all(vals[:, :, t - 1] <= v[:, kk - 1:kk])
+    # winner-only index recovery. The winner's window id comes from an
+    # INTEGER one-hot contraction (bit-exact; a float einsum would ride the
+    # MXU's lossy bf16 passes), and the winner's row is fetched back out of
+    # the dead-masked `g` itself (bit-exact values, exclusion included).
+    wslot = p // t
+    oh_m = (wslot[:, :, None] == jnp.arange(m, dtype=wslot.dtype))  # [B,kk,m]
+    widx_sel = jnp.sum(jnp.where(oh_m, widx[:, None, :], 0), axis=-1)  # [B,kk]
+    rows = gather_subwindows(g, wslot, interpret=interpret)  # [B, kk, W]
+    hit = rows == v[:, :, None]  # [B, kk, W]
+    lane_iota = jnp.arange(w, dtype=jnp.int32)
+    lane = jnp.min(jnp.where(hit, lane_iota, w), axis=-1)  # [B, kk]
+    n_hit = jnp.sum(hit, axis=-1)  # in-window duplicates of a winner value
+    idx = widx_sel * w + jnp.minimum(lane, w - 1)
+
+    # exactness checks (docstring item 8). A -inf winner means the selected
+    # windows ran out of distinct values before filling k slots (duplicate-
+    # heavy degenerate scores) — the distinct-value merge under-counts there,
+    # so it must also take the dense fallback.
+    complete = jnp.all(vals[:, :, t - 1] <= v[:, kk - 1:kk])
+    unique = jnp.all(n_hit == 1)
+    all_live = jnp.all(v > _PEELED)
+    ok = complete & unique & all_live
 
     def _peeled(_):
         return v, idx
 
     def _fallback(_):
-        # rare: some window held > t of a user's top-k — recompute densely
-        scores = sw_t.transpose(1, 0, 2).reshape(b, nw * w)
+        # rare: a window held > t distinct winner values, a winner value
+        # duplicates inside its window, or the peel ran dry — recompute the
+        # whole batch densely from the caller-provided score source
+        scores = fallback_fn()
         if e:
             scores = scatter_fill_rows(scores, excl_cols, excl_mask,
                                        n_cols=nw * w, fill=_NEG)
         if padded:
-            live = jnp.arange(nw * w, dtype=jnp.int32) < c_real
-            scores = jnp.where(live[None, :], scores, _NEG)
+            live_col = jnp.arange(nw * w, dtype=jnp.int32) < c_real
+            scores = jnp.where(live_col[None, :], scores, _NEG)
         fv, fi = lax.top_k(scores, kk)
         return fv, fi
 
     return lax.cond(ok, _peeled, _fallback, operand=None)
+
+
+def peel_topk_windows(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
+                      excl_mask: jax.Array, k: int, c_real: int, *,
+                      t: int = 12, interpret: bool = False
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k (+ per-user exclusion) from [NW, B, W] windowed scores
+    (the `score_windows` fused-matmul layout) via value peeling."""
+    nw, b, w = sw_t.shape
+
+    def gather_fn(wi):
+        return gather_windows_rows(sw_t, wi, interpret=interpret)
+
+    def fallback_fn():
+        return sw_t.transpose(1, 0, 2).reshape(b, nw * w)
+
+    return _peel_select(gather_fn, wmax, excl_cols, excl_mask, k, c_real,
+                        nw, w, fallback_fn, t=t, interpret=interpret)
+
+
+def peel_topk_from_scores(scores: jax.Array, excl_cols: jax.Array,
+                          excl_mask: jax.Array, k: int, c_real: int, *,
+                          window: int = 128, t: int = 12,
+                          interpret: bool = False
+                          ) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k (+ per-user exclusion) straight off a padded [B, C] score
+    matrix: window maxima are one free-view XLA reshape-reduce and windows
+    are gathered with aligned dynamic lane slices — the [NW, B, W] retile
+    pass (2 extra [B, C] HBM round trips) never happens."""
+    b, c = scores.shape
+    nw = c // window
+    wmax = scores.reshape(b, nw, window).max(-1)  # row-major: reshape is free
+
+    def gather_fn(wi):
+        return gather_score_windows(scores, wi, w=window, interpret=interpret)
+
+    return _peel_select(gather_fn, wmax, excl_cols, excl_mask, k, c_real,
+                        nw, window, lambda: scores, t=t, interpret=interpret)
 
 
 # ------------------------------------------------------------------ end-to-end
@@ -260,21 +397,19 @@ def _pad_excl(excl_cols, excl_mask, b, bp):
                    static_argnames=("k", "t", "window", "tb", "bc", "interpret"))
 def peel_masked_topk_scores(scores: jax.Array, excl_cols: jax.Array | None,
                             excl_mask: jax.Array | None, k: int, *,
-                            t: int = 16, window: int = 128, tb: int = 256,
+                            t: int = 12, window: int = 128, tb: int = 256,
                             bc: int = 1024, interpret: bool = False
                             ) -> tuple[jax.Array, jax.Array]:
     """Exclusion + exact top-k over a precomputed [B, C] score matrix —
-    scatter-free: one retile pass + peel selection."""
+    scatter-free and retile-free: direct window gathers + value peeling."""
     b, c = scores.shape
     bp, cp = -(-b // tb) * tb, -(-c // bc) * bc
     if bp != b or cp != c:
         scores = jnp.pad(scores, ((0, bp - b), (0, cp - c)),
                          constant_values=_NEG)
     excl_cols, excl_mask = _pad_excl(excl_cols, excl_mask, b, bp)
-    sw, wmax = window_scores_from(scores, window=window, tb=tb, bc=bc,
-                                  interpret=interpret)
-    v, idx = peel_topk_windows(sw, wmax, excl_cols, excl_mask, k, c, t=t,
-                               interpret=interpret)
+    v, idx = peel_topk_from_scores(scores, excl_cols, excl_mask, k, c,
+                                   window=window, t=t, interpret=interpret)
     return v[:b], idx[:b]
 
 
@@ -282,7 +417,7 @@ def peel_masked_topk_scores(scores: jax.Array, excl_cols: jax.Array | None,
                    static_argnames=("k", "t", "window", "tb", "bc", "interpret"))
 def peel_masked_topk(u: jax.Array, items: jax.Array,
                      excl_cols: jax.Array | None, excl_mask: jax.Array | None,
-                     k: int, *, t: int = 16, window: int = 128, tb: int = 256,
+                     k: int, *, t: int = 12, window: int = 128, tb: int = 256,
                      bc: int = 1024, interpret: bool = False
                      ) -> tuple[jax.Array, jax.Array]:
     """Fused dot-product scores + exclusion + exact top-k: the [B, C] score
@@ -307,7 +442,7 @@ def peel_masked_topk(u: jax.Array, items: jax.Array,
 
 
 def peel_viable(c: int, k: int, e: int, *, window: int = 128,
-                t: int = 16) -> bool:
+                t: int = 12) -> bool:
     """Static dispatch predicate: peeling wins when the margin window set is
     a small fraction of the catalog (heavy-history users blow up the margin
     m = k + E + 1 — the scatter path handles those better)."""

@@ -120,18 +120,28 @@ def masked_topk(scores: jax.Array, exclude_csr: DeviceCSR, u_idxs: jax.Array,
     """
     c = scores.shape[-1]
     if method == "auto":
-        # peel is NOT auto-selected yet: at B=1024/C=100k/K=100 it measured
-        # 17.5 ms vs scatter's 12.0 ms on v5e (stage bisect in ops/pallas_peel
-        # docstring); auto flips once a variant actually wins end-to-end.
-        method = "full" if (c <= 4096 or k >= c) else "scatter"
+        if c <= 4096 or k >= c:
+            method = "full"
+        elif jax.default_backend() == "tpu":
+            from sibrar_tpu.ops.pallas_peel import peel_viable
+
+            # v5e, B=1024/C=100k/K=100/E=64: peel 7.9 ms vs scatter 12.0 ms
+            # (1.5×; the XLA exclusion scatter alone costs 4.2 ms). Scatter
+            # remains for huge exclusion margins and small catalogs.
+            method = ("peel" if peel_viable(c, k, exclude_csr.max_row_len)
+                      else "scatter")
+        else:
+            method = "scatter"
 
     if method == "peel":
+        # exclusion rides the peel's window margin + one-hot masking — the
+        # XLA row scatter alone costs ~4.2 ms at B=1024/C=100k/E=64 on v5e
+        # (the single biggest line item of the whole eval chain)
         from sibrar_tpu.ops.pallas_peel import peel_masked_topk_scores
 
         cols, mask = csr_row_gather(exclude_csr, u_idxs)
-        scores = scatter_fill_rows(scores, cols, mask, n_cols=c, fill=_NEG)
         tb = min(256, -(-scores.shape[0] // 8) * 8)
-        return peel_masked_topk_scores(scores, None, None, k, tb=tb)
+        return peel_masked_topk_scores(scores, cols, mask, k, tb=tb)
 
     if method == "pallas":
         from sibrar_tpu.ops.pallas_window import pallas_masked_topk_scores

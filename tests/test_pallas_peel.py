@@ -10,8 +10,8 @@ from sibrar_tpu.ops.pallas_peel import (
     gather_windows_rows,
     peel_masked_topk,
     peel_masked_topk_scores,
-    peel_rows,
     peel_topk_windows,
+    peel_values,
     peel_viable,
 )
 from sibrar_tpu.ops.pallas_window import window_scores_from
@@ -46,24 +46,30 @@ def _check(v, i, scores, ov, cols=None, mask=None):
             assert not (set(i[b][live].tolist()) & excl[b])
 
 
-# ------------------------------------------------------------------ peel_rows
-def test_peel_rows_matches_lax_topk():
+# ---------------------------------------------------------------- peel_values
+def test_peel_values_matches_lax_topk_when_unique():
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(37, 128)).astype(np.float32)
-    x[5, 10:20] = x[5, 30:40]  # exact in-row ties
-    v, li = peel_rows(jnp.asarray(x), 16, rows_per_block=16, interpret=True)
-    rv, ri = lax.top_k(jnp.asarray(x), 16)
+    x = rng.normal(size=(37, 128)).astype(np.float32)  # a.s. all-distinct
+    v = peel_values(jnp.asarray(x), 16, rows_per_block=16, interpret=True)
+    rv, _ = lax.top_k(jnp.asarray(x), 16)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
-    np.testing.assert_array_equal(np.asarray(li), np.asarray(ri))
 
 
-def test_peel_rows_wide_window_and_short_t():
+def test_peel_values_collapses_ties_to_distinct():
+    x = np.zeros((2, 128), np.float32)
+    x[0, 10:20] = 5.0   # ten copies of 5
+    x[0, 50] = 3.0
+    v = np.asarray(peel_values(jnp.asarray(x), 4, rows_per_block=8,
+                               interpret=True))
+    np.testing.assert_array_equal(v[0], [5.0, 3.0, 0.0, -np.inf])
+
+
+def test_peel_values_wide_window_and_short_t():
     rng = np.random.default_rng(1)
     x = rng.normal(size=(9, 256)).astype(np.float32)
-    v, li = peel_rows(jnp.asarray(x), 4, rows_per_block=8, interpret=True)
-    rv, ri = lax.top_k(jnp.asarray(x), 4)
+    v = peel_values(jnp.asarray(x), 4, rows_per_block=8, interpret=True)
+    rv, _ = lax.top_k(jnp.asarray(x), 4)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
-    np.testing.assert_array_equal(np.asarray(li), np.asarray(ri))
 
 
 def test_gather_windows_rows_layout():
@@ -164,6 +170,30 @@ def test_peel_topk_windows_padded_tail_negative_scores():
     ov, _ = _oracle(jnp.asarray(s), None, None, 10)
     _check(v[:b], i[:b], s, ov)
     assert np.asarray(i).max() < c  # pad ids never returned
+
+
+def test_peel_duplicate_winner_value_in_window():
+    """An in-window duplicate of a winner value means the distinct-value
+    merge under-counted — the uniqueness check must force the fallback."""
+    rng = np.random.default_rng(8)
+    s = rng.normal(size=(2, 2048)).astype(np.float32)
+    s[0, 700] = s[0, 650] = 50.0  # two copies in window 5, both true top-k
+    s[1, 100] = 60.0
+    ov, _ = _oracle(jnp.asarray(s), None, None, 6)
+    v, i = peel_masked_topk_scores(jnp.asarray(s), None, None, 6, t=8,
+                                   interpret=True)
+    _check(v, i, s, ov)
+    assert {650, 700} <= set(np.asarray(i)[0].tolist())
+
+
+def test_peel_degenerate_constant_scores():
+    """All-equal scores: every window has ONE distinct value, so the peel
+    cannot fill k slots — the all-live check must force the dense fallback."""
+    s = np.full((3, 2048), 2.5, np.float32)
+    ov, _ = _oracle(jnp.asarray(s), None, None, 20)
+    v, i = peel_masked_topk_scores(jnp.asarray(s), None, None, 20, t=4,
+                                   interpret=True)
+    _check(v, i, s, ov)
 
 
 def test_peel_viable_dispatch_bounds():
