@@ -204,7 +204,8 @@ class EvalConfig:
     def validate(self) -> None:
         if any(k <= 0 for k in self.top_k):
             raise ValueError("top_k cut-offs must be positive")
-        if self.topk_method not in ("auto", "full", "scatter", "noscatter"):
+        if self.topk_method not in ("auto", "full", "scatter", "noscatter",
+                                    "peel", "pallas"):
             raise ValueError(f"unsupported topk_method {self.topk_method!r}")
 
 

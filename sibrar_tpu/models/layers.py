@@ -274,6 +274,13 @@ class InteractionVectorModule(nn.Module):
         return vec
 
 
+# Bag-vs-densify break-even: use the gather path when
+# BAG_BREAK_EVEN_FACTOR · max_row_len ≤ n_cols. Module-level so probes can
+# sweep it (tools/probe_train.py) — the factor is a measured trade between
+# the densify scatter + [B, n_cols] matmul and per-example row gathers.
+BAG_BREAK_EVEN_FACTOR = 256
+
+
 class InteractionTower(nn.Module):
     """MLP tower over an entity's train-interaction vector, with a sparse
     first layer.
@@ -328,7 +335,7 @@ class InteractionTower(nn.Module):
         csr = DeviceCSR(indptr=indptr, indices=indices, n_rows=self.n_rows,
                         n_cols=self.n_cols, max_row_len=self.max_row_len)
 
-        use_bag = 256 * max(self.max_row_len, 1) <= self.n_cols
+        use_bag = BAG_BREAK_EVEN_FACTOR * max(self.max_row_len, 1) <= self.n_cols
         if use_bag:
             cols, mask = csr_row_gather(csr, idxs)  # [..., L]
             gathered = jnp.take(kernel, cols, axis=0)  # [..., L, h]

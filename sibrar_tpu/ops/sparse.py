@@ -68,16 +68,30 @@ def csr_row_gather(csr: DeviceCSR, rows: jax.Array) -> tuple[jax.Array, jax.Arra
     return jnp.where(mask, cols, 0), mask
 
 
+# XLA row scatters on TPU cost ~20 ns per scattered element; a fused
+# compare-broadcast densify streams B·L·n_cols lane-ops at ~0.8 ps each
+# (measured inside the SBNet train step on v5e: 2.9 ms faster at
+# B'=5632, L=50, n_cols=12000 — tools/probe_train.py `cmpdense`), so the
+# crossover sits at n_cols ≈ 25k. Stay below it with margin.
+_CMP_DENSIFY_MAX_COLS = 16384
+
+
 def csr_rows_to_dense(
     csr: DeviceCSR, rows: jax.Array, dtype=jnp.float32
 ) -> jax.Array:
     """Materialize dense 0/1 rows ``[..., n_cols]`` for a batch of row ids.
 
-    TPU-friendly replacement for scipy ``matrix[rows].toarray()``: one gather of
-    the batch's column lists followed by a batched scatter, touching only the
-    nnz of the requested rows.
+    TPU-friendly replacement for scipy ``matrix[rows].toarray()``: one gather
+    of the batch's column lists, then either a fused compare-broadcast
+    (``cols[..., None] == iota`` any-reduced over L — scatter-free, wins for
+    moderate n_cols) or a batched scatter touching only the requested nnz
+    (wins for wide matrices, where the compare stream grows with n_cols).
     """
     cols, mask = csr_row_gather(csr, rows)  # [..., L]
+    if csr.n_cols <= _CMP_DENSIFY_MAX_COLS:
+        iota = jnp.arange(csr.n_cols, dtype=jnp.int32)
+        hit = (cols[..., None] == iota) & mask[..., None]
+        return hit.any(axis=-2).astype(dtype)
     batch_shape = cols.shape[:-1]
     flat_cols = cols.reshape(-1, cols.shape[-1])
     flat_mask = mask.reshape(-1, mask.shape[-1])

@@ -22,6 +22,16 @@ def test_csr_ops_match_scipy():
     rows = jnp.asarray(np.arange(10), dtype=jnp.int32)
     dense = np.asarray(csr_rows_to_dense(csr, rows))
     np.testing.assert_array_equal(dense, mat[:10].toarray())
+    # the wide-matrix scatter path must agree with the compare path
+    from sibrar_tpu.ops import sparse as sp_ops
+
+    orig = sp_ops._CMP_DENSIFY_MAX_COLS
+    try:
+        sp_ops._CMP_DENSIFY_MAX_COLS = 0  # force the scatter branch
+        dense2 = np.asarray(csr_rows_to_dense(csr, rows))
+    finally:
+        sp_ops._CMP_DENSIFY_MAX_COLS = orig
+    np.testing.assert_array_equal(dense2, dense)
     # membership over every cell of a few rows
     cols = jnp.arange(mat.shape[1], dtype=jnp.int32)
     got = np.asarray(csr_contains(csr, rows[:, None], cols[None, :]))
