@@ -126,6 +126,48 @@ class FullEvaluator:
 
         return eval_batch
 
+    def make_dot_eval_batch(self, user_repr_fn, items, interpret: bool = False):
+        """Fused matmul→exclusion→top-k eval batch for plain dot-product
+        models: the [B, C] score matrix never materializes (score_windows MXU
+        epilogue + peel selection, `ops/pallas_peel.peel_masked_topk` —
+        measured 6.4 ms vs 7.6 ms through the scores path at B=1024/C=100k
+        on v5e). Returns None when the fast path doesn't apply (sharded
+        catalog, non-TPU backend, unviable margins) — callers then fall back
+        to the generic scores path."""
+        import jax as _jax
+
+        if self.mesh is not None and self.mesh.shape.get("item", 1) > 1:
+            return None
+        if _jax.default_backend() != "tpu" and not interpret:
+            return None
+        from sibrar_tpu.ops.pallas_peel import peel_masked_topk, peel_viable
+
+        data = self.data
+        n_catalog = self.dataset.n_items_in_split
+        if items.shape[0] != n_catalog:
+            return None
+        if not peel_viable(n_catalog, self.k_max,
+                           data.exclude_csr.max_row_len):
+            return None
+        ks, k_max = self.ks, self.k_max
+
+        def eval_batch(u_idxs):
+            from sibrar_tpu.ops.sparse import csr_row_gather
+
+            u_repr = user_repr_fn(u_idxs)
+            cols, mask = csr_row_gather(data.exclude_csr, u_idxs)
+            tb = min(256, -(-u_idxs.shape[0] // 8) * 8)
+            _, topk_idx = peel_masked_topk(u_repr, items, cols, mask, k_max,
+                                           tb=tb, interpret=interpret)
+            hits = csr_contains(data.pos_csr, u_idxs[:, None],
+                                topk_idx).astype(jnp.float32)
+            n_pos = (data.pos_csr.indptr[u_idxs + 1]
+                     - data.pos_csr.indptr[u_idxs])
+            return (user_metrics_from_hits(hits, n_pos, ks),
+                    coverage_flags(topk_idx, ks, n_catalog))
+
+        return eval_batch
+
     # ------------------------------------------------------------------ accumulate
     def eval_batch(self, u_idxs: jax.Array, scores: jax.Array,
                    valid: Optional[np.ndarray] = None):
@@ -226,7 +268,16 @@ def evaluate_model(
         try:
             u_dev = jnp.asarray(users_padded, dtype=jnp.int32).reshape(n_batches, bs)
 
+            # dot-product fast path: trainers attach (user_repr_fn, items)
+            # to score_fn when the model combine is a plain dot, letting the
+            # whole batch run through the fused matmul→top-k kernel
+            dot_parts = getattr(score_fn, "dot_parts", None)
+            dot_batch = (evaluator.make_dot_eval_batch(*dot_parts)
+                         if dot_parts is not None else None)
+
             def one_batch(u):
+                if dot_batch is not None:
+                    return dot_batch(u)
                 scores = score_fn(u)
                 return evaluator._eval_batch_raw(scores, u)
 

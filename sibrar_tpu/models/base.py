@@ -40,6 +40,14 @@ class RecModel(nn.Module):
     def item_repr(self, i_idxs, train: bool = False):
         raise NotImplementedError
 
+    @property
+    def combine_is_dot(self) -> bool:
+        """True when `combine` is exactly the base dot product — lets the
+        evaluator run the fused matmul→top-k fast path
+        (`eval/evaluator.make_dot_eval_batch`). Models whose combine reduces
+        to a dot under some configs (e.g. bias-free MF) override this."""
+        return type(self).combine is RecModel.combine
+
     def combine(self, u_repr, i_repr):
         """Default: dot product; supports [B,1+n,d] batch and [C,d] catalog layouts
         (reference `/root/reference/algorithms/sgd_alg.py:2101-2114`)."""

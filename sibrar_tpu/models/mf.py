@@ -68,6 +68,11 @@ class SGDMatrixFactorization(RecModel):
             return self.item_embeddings(i_idxs), self.item_bias(i_idxs)[..., 0]
         return self.item_embeddings(i_idxs)
 
+    @property
+    def combine_is_dot(self) -> bool:
+        return not (self.use_user_bias or self.use_item_bias
+                    or self.use_global_bias)
+
     def combine(self, u_repr, i_repr):
         u_embed, u_bias = u_repr if isinstance(u_repr, tuple) else (u_repr, None)
         i_embed, i_bias = i_repr if isinstance(i_repr, tuple) else (i_repr, None)

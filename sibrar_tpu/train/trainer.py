@@ -286,7 +286,22 @@ class Trainer:
         # [C, d] item table and the [B, C] score matrix partition on the item axis
         i_repr = jax.tree_util.tree_map(
             lambda x: shard_catalog(x, self.mesh), i_repr)
-        return lambda u_idxs: score_fn(variables, u_idxs, i_repr)
+        fn = lambda u_idxs: score_fn(variables, u_idxs, i_repr)  # noqa: E731
+
+        # dot-product models expose their parts so the evaluator can run the
+        # fused matmul→top-k path (evaluator.make_dot_eval_batch) instead of
+        # materializing [B, C] scores
+        if (self.mesh is None
+                and getattr(self.model, "combine_is_dot", False)
+                and isinstance(i_repr, jax.Array) and i_repr.ndim == 2):
+            u_fn = lambda u: self.model.apply(  # noqa: E731
+                variables, u, train=False, method=self.model.user_repr)
+            u_shape = jax.eval_shape(u_fn, jnp.zeros((2,), jnp.int32))
+            if (isinstance(u_shape, jax.ShapeDtypeStruct)
+                    and len(u_shape.shape) == 2
+                    and u_shape.shape[1] == i_repr.shape[1]):
+                fn.dot_parts = (u_fn, i_repr)
+        return fn
 
     def validate(self) -> dict:
         score_fn = self.make_score_fn()

@@ -47,3 +47,79 @@ def test_untraceable_score_fn_falls_back_to_eager(val_ds, caplog):
         metrics = evaluate_model(host_score_fn, ev, batch_size=8)
     assert np.isfinite(metrics["val/ndcg@5"])
     assert any("falling back" in r.message for r in caplog.records)
+
+
+def test_dot_fast_path_matches_scores_path():
+    """make_dot_eval_batch (fused matmul→peel top-k, interpret mode) must
+    produce identical metrics to the generic scores path, and the gate must
+    refuse off-TPU / sharded / unviable-margin setups."""
+    import jax
+
+    splits = make_synthetic_splits(n_users=48, n_items=65536,
+                                   n_interactions=3000, seed=9,
+                                   with_features=False)
+    val = splits["val"]
+    ev = FullEvaluator(EvalConfig(top_k=[3, 10]), val, evaluator_name="val")
+    rng = np.random.default_rng(1)
+    d = 16
+    u_mat = jnp.asarray(rng.standard_normal((val.n_users, d)).astype(np.float32))
+    items = jnp.asarray(
+        rng.standard_normal((val.n_items_in_split, d)).astype(np.float32))
+    user_repr_fn = lambda u: u_mat[u]  # noqa: E731
+
+    # off-TPU without interpret: gate refuses
+    if jax.default_backend() != "tpu":
+        assert ev.make_dot_eval_batch(user_repr_fn, items) is None
+    batch_fn = ev.make_dot_eval_batch(user_repr_fn, items, interpret=True)
+    assert batch_fn is not None
+
+    score_fn = lambda u: user_repr_fn(u) @ items.T  # noqa: E731
+    ref = evaluate_model(score_fn, ev, batch_size=16)
+
+    users = np.asarray(ev.data.users_in_split)
+    bs = 16
+    for start in range(0, len(users) - len(users) % bs, bs):
+        u = jnp.asarray(users[start:start + bs], jnp.int32)
+        metrics, cov = batch_fn(u)
+        for k, v in metrics.items():
+            ev._per_user.setdefault(k, []).append(v)
+        ev._per_user_users.append(u)
+        ev._valid.append(np.ones(bs, bool))
+        for k, flags in cov.items():
+            ev._cov_flags[k] = (ev._cov_flags[k] | flags
+                                if k in ev._cov_flags else flags)
+    got = ev.get_results()
+    for key in ("val/ndcg@10", "val/recall@10", "val/precision@3",
+                "val/coverage@10"):
+        np.testing.assert_allclose(got[key], ref[key], atol=1e-6,
+                                   err_msg=key)
+
+
+def test_trainer_attaches_dot_parts():
+    """Bias-free MF and SBNet expose dot_parts; biased MF must not."""
+    from sibrar_tpu.config.schema import DatasetConfig, LearningConfig
+    from sibrar_tpu.models.mf import SGDMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    splits = make_synthetic_splits(n_users=30, n_items=40,
+                                   n_interactions=600, seed=2)
+    tr, va = splits["train"], splits["val"]
+    learn = LearningConfig(n_epochs=1, lr=1e-3, optimizing_metric="ndcg@10")
+
+    def mk(model):
+        ev = FullEvaluator(EvalConfig(top_k=[5]), va, evaluator_name="val")
+        t = Trainer(model, tr, ev, learn, DatasetConfig(), batch_size=16,
+                    seed=0)
+        return t.make_score_fn()
+
+    plain = mk(SGDMatrixFactorization(n_users=30, n_items=40,
+                                      embedding_dim=8))
+    assert hasattr(plain, "dot_parts")
+    u_fn, items = plain.dot_parts
+    u = jnp.arange(4, dtype=jnp.int32)
+    np.testing.assert_allclose(np.asarray(u_fn(u) @ items.T),
+                               np.asarray(plain(u)), rtol=1e-5, atol=1e-5)
+
+    biased = mk(SGDMatrixFactorization(n_users=30, n_items=40,
+                                       embedding_dim=8, use_item_bias=True))
+    assert not hasattr(biased, "dot_parts")
