@@ -88,13 +88,21 @@ class FullEvaluator:
         self._cov_flags: Dict[str, jax.Array] = {}
 
     # ------------------------------------------------------------------ build step
-    def _make_eval_batch(self):
+    def _make_eval_batch(self, method: Optional[str] = None):
+        """Build ``eval_batch(scores, u_idxs) -> (metrics, cov, ok)``.
+
+        ``ok`` is a scalar bool: False only when the peel top-k's exactness
+        check tripped. The in-graph dense fallback is deliberately NOT used —
+        XLA predicates `lax.cond` inside `lax.map`/`lax.scan` bodies, so it
+        would execute every batch (measured ~0.19 s/batch vs ~8 ms). Drivers
+        redo not-ok batches with the scatter variant
+        (`_scatter_eval_batch`)."""
         data = self.data
         ks = self.ks
         k_max = self.k_max
         n_catalog = self.dataset.n_items_in_split
 
-        method = getattr(self.config, "topk_method", "auto")
+        method = method or getattr(self.config, "topk_method", "auto")
         mesh = self.mesh
 
         def eval_batch(scores: jax.Array, u_idxs: jax.Array):
@@ -114,17 +122,25 @@ class FullEvaluator:
                 if pad:
                     s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-1e30)
                 _, topk_idx = sharded_topk(s, k_max, mesh)
+                ok = jnp.asarray(True)
             else:
-                _, topk_idx = masked_topk(
-                    scores, data.exclude_csr, u_idxs, k_max, method=method)
+                _, topk_idx, ok = masked_topk(
+                    scores, data.exclude_csr, u_idxs, k_max, method=method,
+                    return_ok=True)
             hits = csr_contains(data.pos_csr, u_idxs[:, None], topk_idx)
             hits = hits.astype(jnp.float32)
             n_pos = (data.pos_csr.indptr[u_idxs + 1] - data.pos_csr.indptr[u_idxs])
             metrics = user_metrics_from_hits(hits, n_pos, ks)
             cov = coverage_flags(topk_idx, ks, n_catalog)
-            return metrics, cov
+            return metrics, cov, ok
 
         return eval_batch
+
+    def _scatter_eval_batch(self):
+        """Fallback-free redo variant (scatter exclusion + windowed top-k)."""
+        if not hasattr(self, "_eval_batch_scatter"):
+            self._eval_batch_scatter = self._make_eval_batch(method="scatter")
+        return self._eval_batch_scatter
 
     def make_dot_eval_batch(self, user_repr_fn, items, interpret: bool = False):
         """Fused matmul→exclusion→top-k eval batch for plain dot-product
@@ -157,14 +173,15 @@ class FullEvaluator:
             u_repr = user_repr_fn(u_idxs)
             cols, mask = csr_row_gather(data.exclude_csr, u_idxs)
             tb = min(256, -(-u_idxs.shape[0] // 8) * 8)
-            _, topk_idx = peel_masked_topk(u_repr, items, cols, mask, k_max,
-                                           tb=tb, interpret=interpret)
+            _, topk_idx, ok = peel_masked_topk(
+                u_repr, items, cols, mask, k_max, tb=tb, interpret=interpret,
+                with_fallback=False)  # not-ok batches are redone by the driver
             hits = csr_contains(data.pos_csr, u_idxs[:, None],
                                 topk_idx).astype(jnp.float32)
             n_pos = (data.pos_csr.indptr[u_idxs + 1]
                      - data.pos_csr.indptr[u_idxs])
             return (user_metrics_from_hits(hits, n_pos, ks),
-                    coverage_flags(topk_idx, ks, n_catalog))
+                    coverage_flags(topk_idx, ks, n_catalog), ok)
 
         return eval_batch
 
@@ -177,7 +194,12 @@ class FullEvaluator:
         Results stay ON DEVICE until `get_results` — a single bulk transfer at
         the end replaces per-batch per-metric host syncs (each device→host
         round trip costs real latency, painfully so through remote tunnels)."""
-        metrics, cov = self._eval_batch(scores, u_idxs)
+        metrics, cov, ok = self._eval_batch(scores, u_idxs)
+        if not bool(ok):  # rare peel-exactness redo (forces one device sync,
+            # but this eager path is itself the rare fallback driver)
+            if not hasattr(self, "_jit_eval_batch_scatter"):
+                self._jit_eval_batch_scatter = jax.jit(self._scatter_eval_batch())
+            metrics, cov, _ = self._jit_eval_batch_scatter(scores, u_idxs)
         self._per_user_users.append(u_idxs)
         self._valid.append(np.ones(int(u_idxs.shape[0]), bool)
                            if valid is None else np.asarray(valid))
@@ -275,13 +297,33 @@ def evaluate_model(
             dot_batch = (evaluator.make_dot_eval_batch(*dot_parts)
                          if dot_parts is not None else None)
 
-            def one_batch(u):
+            def run_map(batch_fn):
+                def one_batch(u):
+                    return batch_fn(u)
+
+                return jax.lax.map(one_batch, u_dev)
+
+            def fast_batch(u):
                 if dot_batch is not None:
                     return dot_batch(u)
-                scores = score_fn(u)
-                return evaluator._eval_batch_raw(scores, u)
+                return evaluator._eval_batch_raw(score_fn(u), u)
 
-            metrics, covs = jax.lax.map(one_batch, u_dev)
+            metrics, covs, oks = run_map(fast_batch)
+            if not bool(jnp.all(oks)):
+                # a peel exactness check tripped somewhere: redo the whole
+                # eval with the fallback-free scatter variant (the in-graph
+                # lax.cond fallback is useless inside lax.map — XLA
+                # predicates loop-body conditionals, executing both branches
+                # every batch)
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "peel top-k exactness check tripped in %d/%d batches; "
+                    "re-running the evaluation with the scatter top-k",
+                    int(jnp.sum(~oks)), n_batches)
+                scatter_batch = evaluator._scatter_eval_batch()
+                metrics, covs, _ = run_map(
+                    lambda u: scatter_batch(score_fn(u), u))
             # flatten batch structure; OR-reduce coverage across batches
             metrics = {k: v.reshape(-1) for k, v in metrics.items()}
             for k, flags in covs.items():

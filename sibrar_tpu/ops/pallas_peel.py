@@ -253,7 +253,7 @@ def gather_subwindows(g: jax.Array, slots: jax.Array, *, gb: int = 8,
 # ------------------------------------------------------------- orchestration
 def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
                  nw: int, w: int, fallback_fn, *, t: int,
-                 interpret: bool) -> tuple[jax.Array, jax.Array]:
+                 interpret: bool, with_fallback: bool = True):
     """Shared peel pipeline: window selection → gather → pre-peel exclusion →
     value peel → merged top-k → winner-only index recovery → exactness
     checks with a `lax.cond` dense fallback.
@@ -324,6 +324,14 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
     all_live = jnp.all(v > _PEELED)
     ok = complete & unique & all_live
 
+    if not with_fallback:
+        # caller handles the (rare) not-ok redo at the driver level. This
+        # variant exists because XLA predicates `lax.cond` inside
+        # `lax.scan`/`lax.map` bodies — BOTH branches execute, so the dense
+        # fallback's full-catalog top-k would run every batch (measured:
+        # ~0.19 s/batch instead of ~8 ms in the fused whole-eval program).
+        return v, idx, ok
+
     def _peeled(_):
         return v, idx
 
@@ -346,8 +354,8 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
 
 def peel_topk_windows(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
                       excl_mask: jax.Array, k: int, c_real: int, *,
-                      t: int = 12, interpret: bool = False
-                      ) -> tuple[jax.Array, jax.Array]:
+                      t: int = 12, interpret: bool = False,
+                      with_fallback: bool = True):
     """Exact top-k (+ per-user exclusion) from [NW, B, W] windowed scores
     (the `score_windows` fused-matmul layout) via value peeling."""
     nw, b, w = sw_t.shape
@@ -359,14 +367,15 @@ def peel_topk_windows(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
         return sw_t.transpose(1, 0, 2).reshape(b, nw * w)
 
     return _peel_select(gather_fn, wmax, excl_cols, excl_mask, k, c_real,
-                        nw, w, fallback_fn, t=t, interpret=interpret)
+                        nw, w, fallback_fn, t=t, interpret=interpret,
+                        with_fallback=with_fallback)
 
 
 def peel_topk_from_scores(scores: jax.Array, excl_cols: jax.Array,
                           excl_mask: jax.Array, k: int, c_real: int, *,
                           window: int = 128, t: int = 12,
-                          interpret: bool = False
-                          ) -> tuple[jax.Array, jax.Array]:
+                          interpret: bool = False,
+                          with_fallback: bool = True):
     """Exact top-k (+ per-user exclusion) straight off a padded [B, C] score
     matrix: window maxima are one free-view XLA reshape-reduce and windows
     are gathered with aligned dynamic lane slices — the [NW, B, W] retile
@@ -379,7 +388,8 @@ def peel_topk_from_scores(scores: jax.Array, excl_cols: jax.Array,
         return gather_score_windows(scores, wi, w=window, interpret=interpret)
 
     return _peel_select(gather_fn, wmax, excl_cols, excl_mask, k, c_real,
-                        nw, window, lambda: scores, t=t, interpret=interpret)
+                        nw, window, lambda: scores, t=t, interpret=interpret,
+                        with_fallback=with_fallback)
 
 
 # ------------------------------------------------------------------ end-to-end
@@ -394,12 +404,13 @@ def _pad_excl(excl_cols, excl_mask, b, bp):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "t", "window", "tb", "bc", "interpret"))
+                   static_argnames=("k", "t", "window", "tb", "bc", "interpret",
+                                    "with_fallback"))
 def peel_masked_topk_scores(scores: jax.Array, excl_cols: jax.Array | None,
                             excl_mask: jax.Array | None, k: int, *,
                             t: int = 12, window: int = 128, tb: int = 256,
-                            bc: int = 1024, interpret: bool = False
-                            ) -> tuple[jax.Array, jax.Array]:
+                            bc: int = 1024, interpret: bool = False,
+                            with_fallback: bool = True):
     """Exclusion + exact top-k over a precomputed [B, C] score matrix —
     scatter-free and retile-free: direct window gathers + value peeling."""
     b, c = scores.shape
@@ -408,18 +419,24 @@ def peel_masked_topk_scores(scores: jax.Array, excl_cols: jax.Array | None,
         scores = jnp.pad(scores, ((0, bp - b), (0, cp - c)),
                          constant_values=_NEG)
     excl_cols, excl_mask = _pad_excl(excl_cols, excl_mask, b, bp)
-    v, idx = peel_topk_from_scores(scores, excl_cols, excl_mask, k, c,
-                                   window=window, t=t, interpret=interpret)
-    return v[:b], idx[:b]
+    out = peel_topk_from_scores(scores, excl_cols, excl_mask, k, c,
+                                window=window, t=t, interpret=interpret,
+                                with_fallback=with_fallback)
+    if with_fallback:
+        v, idx = out
+        return v[:b], idx[:b]
+    v, idx, ok = out
+    return v[:b], idx[:b], ok
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "t", "window", "tb", "bc", "interpret"))
+                   static_argnames=("k", "t", "window", "tb", "bc", "interpret",
+                                    "with_fallback"))
 def peel_masked_topk(u: jax.Array, items: jax.Array,
                      excl_cols: jax.Array | None, excl_mask: jax.Array | None,
                      k: int, *, t: int = 12, window: int = 128, tb: int = 256,
-                     bc: int = 1024, interpret: bool = False
-                     ) -> tuple[jax.Array, jax.Array]:
+                     bc: int = 1024, interpret: bool = False,
+                     with_fallback: bool = True):
     """Fused dot-product scores + exclusion + exact top-k: the [B, C] score
     matrix never materializes — `score_windows` writes the windowed tiling
     (+ window maxima) straight out of the MXU epilogue."""
@@ -436,9 +453,13 @@ def peel_masked_topk(u: jax.Array, items: jax.Array,
     excl_cols, excl_mask = _pad_excl(excl_cols, excl_mask, b, bp)
     sw, wmax = score_windows(u, items, window=window, tb=tb, bc=bc,
                              interpret=interpret)
-    v, idx = peel_topk_windows(sw, wmax, excl_cols, excl_mask, k, c, t=t,
-                               interpret=interpret)
-    return v[:b], idx[:b]
+    out = peel_topk_windows(sw, wmax, excl_cols, excl_mask, k, c, t=t,
+                            interpret=interpret, with_fallback=with_fallback)
+    if with_fallback:
+        v, idx = out
+        return v[:b], idx[:b]
+    v, idx, ok = out
+    return v[:b], idx[:b], ok
 
 
 def peel_viable(c: int, k: int, e: int, *, window: int = 128,

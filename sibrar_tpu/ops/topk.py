@@ -94,9 +94,15 @@ def windowed_topk_excluded(scores: jax.Array, exclude_csr: DeviceCSR,
 
 
 def masked_topk(scores: jax.Array, exclude_csr: DeviceCSR, u_idxs: jax.Array,
-                k: int, method: str = "auto") -> tuple[jax.Array, jax.Array]:
+                k: int, method: str = "auto", return_ok: bool = False):
     """Top-k of `scores[b]` with the user's already-interacted items excluded
-    (set to −∞). All methods are exact; they differ only in speed:
+    (set to −∞). All methods are exact; they differ only in speed.
+
+    With ``return_ok=True`` returns ``(values, indices, ok)`` where ``ok``
+    is a scalar bool and the peel method SKIPS its in-graph dense fallback:
+    callers inside `lax.scan`/`lax.map` bodies must use this and redo not-ok
+    batches themselves — XLA predicates `lax.cond` inside loop bodies, so
+    the in-graph fallback would execute (and bill) every iteration.
 
     - ``full``: scatter + plain `lax.top_k` (the baseline semantics).
     - ``scatter``: scatter + windowed top-k.
@@ -141,7 +147,12 @@ def masked_topk(scores: jax.Array, exclude_csr: DeviceCSR, u_idxs: jax.Array,
 
         cols, mask = csr_row_gather(exclude_csr, u_idxs)
         tb = min(256, -(-scores.shape[0] // 8) * 8)
-        return peel_masked_topk_scores(scores, cols, mask, k, tb=tb)
+        return peel_masked_topk_scores(scores, cols, mask, k, tb=tb,
+                                       with_fallback=not return_ok)
+
+    if return_ok:  # every non-peel method is fallback-free by construction
+        v, i = masked_topk(scores, exclude_csr, u_idxs, k, method=method)
+        return v, i, jnp.asarray(True)
 
     if method == "pallas":
         from sibrar_tpu.ops.pallas_window import pallas_masked_topk_scores

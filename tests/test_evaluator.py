@@ -80,7 +80,8 @@ def test_dot_fast_path_matches_scores_path():
     bs = 16
     for start in range(0, len(users) - len(users) % bs, bs):
         u = jnp.asarray(users[start:start + bs], jnp.int32)
-        metrics, cov = batch_fn(u)
+        metrics, cov, ok = batch_fn(u)
+        assert bool(ok)  # random scores: the peel must not need the redo
         for k, v in metrics.items():
             ev._per_user.setdefault(k, []).append(v)
         ev._per_user_users.append(u)
@@ -123,3 +124,46 @@ def test_trainer_attaches_dot_parts():
     biased = mk(SGDMatrixFactorization(n_users=30, n_items=40,
                                        embedding_dim=8, use_item_bias=True))
     assert not hasattr(biased, "dot_parts")
+
+
+def test_dot_fast_path_driver_redo_on_exactness_trip():
+    """Adversarial scores (all winners in one window) trip the peel's
+    completeness check; the fused driver must redo with the scatter top-k
+    and still return exact metrics (the in-graph cond fallback is useless
+    inside lax.map — XLA predicates loop-body conditionals)."""
+    from sibrar_tpu.eval.evaluator import FullEvaluator as FE
+
+    splits = make_synthetic_splits(n_users=32, n_items=65536,
+                                   n_interactions=2000, seed=11,
+                                   with_features=False)
+    val = splits["val"]
+    # k=100 with t=12: the single boosted window holds all 100 winners, so
+    # the per-window peel budget cannot cover them -> completeness trips
+    ev = FE(EvalConfig(top_k=[100]), val, evaluator_name="val")
+    rng = np.random.default_rng(4)
+    d = 8
+    u_mat = jnp.asarray(np.abs(rng.standard_normal(
+        (val.n_users, d))).astype(np.float32))
+    items = np.zeros((val.n_items_in_split, d), np.float32)
+    items[256:384] = np.abs(rng.standard_normal((128, d))) + 5.0  # one window
+    items = jnp.asarray(items)
+    user_repr_fn = lambda u: u_mat[u]  # noqa: E731
+
+    score_fn = lambda u: user_repr_fn(u) @ items.T  # noqa: E731
+    ref = evaluate_model(score_fn, ev, batch_size=16)
+
+    ev2 = FE(EvalConfig(top_k=[100]), val, evaluator_name="val")
+    ev2.make_dot_eval_batch = (
+        lambda fn, it, interpret=False: FE.make_dot_eval_batch(
+            ev2, fn, it, interpret=True))
+    # the adversarial batch must actually trip the completeness check
+    batch_fn = ev2.make_dot_eval_batch(user_repr_fn, items)
+    u0 = jnp.asarray(np.asarray(ev2.data.users_in_split)[:16], jnp.int32)
+    _, _, ok = batch_fn(u0)
+    assert not bool(ok)
+
+    fast_fn = lambda u: user_repr_fn(u) @ items.T  # noqa: E731
+    fast_fn.dot_parts = (user_repr_fn, items)
+    got = evaluate_model(fast_fn, ev2, batch_size=16)
+    for key, v in ref.items():
+        np.testing.assert_allclose(got[key], v, atol=1e-6, err_msg=key)

@@ -41,6 +41,45 @@ def main():
     if mode == "dot":
         score_fn.dot_parts = (lambda u: u_mat[u], items)
 
+    if mode in ("batch", "topk", "hits", "cov"):
+        import jax
+        from sibrar_tpu.ops.topk import masked_topk
+        from sibrar_tpu.ops.sparse import csr_contains
+        from sibrar_tpu.eval.metrics import coverage_flags, user_metrics_from_hits
+
+        data = ev.data
+        u = jnp.asarray(np.asarray(data.users_in_split)[:BS], jnp.int32)
+
+        @jax.jit
+        def step(u):
+            scores = u_mat[u] @ items.T
+            _, topk_idx, ok = masked_topk(scores, data.exclude_csr, u, ev.k_max,
+                                          return_ok=True)
+            if mode == "topk":
+                return jnp.sum(topk_idx) + ok
+            hits = csr_contains(data.pos_csr, u[:, None], topk_idx
+                                ).astype(jnp.float32)
+            n_pos = data.pos_csr.indptr[u + 1] - data.pos_csr.indptr[u]
+            if mode == "hits":
+                return jnp.sum(hits) + jnp.sum(n_pos)
+            metrics = user_metrics_from_hits(hits, n_pos, ev.ks)
+            if mode == "cov":
+                cov = coverage_flags(topk_idx, ev.ks, C)
+                return sum(jnp.sum(x) for x in cov.values())
+            cov = coverage_flags(topk_idx, ev.ks, C)
+            return (sum(jnp.sum(x) for x in metrics.values())
+                    + sum(jnp.sum(x) for x in cov.values()) + ok)
+
+        out = step(u)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = step(u)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 20
+        print(json.dumps({"mode": mode, "ms_per_batch": round(dt * 1e3, 3)}))
+        return
+
     t0 = time.perf_counter()
     m = evaluate_model(score_fn, ev, batch_size=BS)
     compile_and_run = time.perf_counter() - t0
