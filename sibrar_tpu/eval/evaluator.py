@@ -31,7 +31,7 @@ from sibrar_tpu.eval.metrics import (
     coverage_flags,
     user_metrics_from_hits,
 )
-from sibrar_tpu.ops.sparse import csr_contains
+from sibrar_tpu.ops.sparse import csr_contains_rows
 from sibrar_tpu.ops.topk import masked_topk
 
 
@@ -127,7 +127,7 @@ class FullEvaluator:
                 _, topk_idx, ok = masked_topk(
                     scores, data.exclude_csr, u_idxs, k_max, method=method,
                     return_ok=True)
-            hits = csr_contains(data.pos_csr, u_idxs[:, None], topk_idx)
+            hits = csr_contains_rows(data.pos_csr, u_idxs, topk_idx)
             hits = hits.astype(jnp.float32)
             n_pos = (data.pos_csr.indptr[u_idxs + 1] - data.pos_csr.indptr[u_idxs])
             metrics = user_metrics_from_hits(hits, n_pos, ks)
@@ -176,8 +176,8 @@ class FullEvaluator:
             _, topk_idx, ok = peel_masked_topk(
                 u_repr, items, cols, mask, k_max, tb=tb, interpret=interpret,
                 with_fallback=False)  # not-ok batches are redone by the driver
-            hits = csr_contains(data.pos_csr, u_idxs[:, None],
-                                topk_idx).astype(jnp.float32)
+            hits = csr_contains_rows(data.pos_csr, u_idxs,
+                                     topk_idx).astype(jnp.float32)
             n_pos = (data.pos_csr.indptr[u_idxs + 1]
                      - data.pos_csr.indptr[u_idxs])
             return (user_metrics_from_hits(hits, n_pos, ks),
@@ -219,25 +219,28 @@ class FullEvaluator:
         return f"{self.name}/{base}" if self.name else base
 
     def get_results(self, return_raw_results: bool = False):
-        # one bulk device→host transfer for everything accumulated
+        # ONE bulk device→host transfer for everything accumulated — per-array
+        # fetches each pay a full round trip (~25-100 ms through remote
+        # tunnels), so metrics, coverage flags and user ids travel together
         valid = np.concatenate(self._valid) if self._valid else np.zeros(0, bool)
-        fetched = jax.device_get({
-            k: jnp.concatenate(v) for k, v in self._per_user.items()
-            if k.split("@")[0] in self._user_metrics
-        })
+        fetched, cov_fetched, users_dev = jax.device_get((
+            {k: jnp.concatenate(v) for k, v in self._per_user.items()
+             if k.split("@")[0] in self._user_metrics},
+            {k: flags for k, flags in self._cov_flags.items()
+             if k.split("@")[0] in self._dist_metrics},
+            (jnp.concatenate(self._per_user_users)
+             if self._group_features and self._per_user_users else ()),
+        ))
         raw = {self._key(k): np.asarray(v)[valid] for k, v in fetched.items()}
         out = {k: float(v.mean()) for k, v in raw.items()}
         if self.config.compute_std:
             out.update({f"{k}_std": float(v.std()) for k, v in raw.items()})
 
-        if self._dist_metrics and self._cov_flags:
-            for k, flags in self._cov_flags.items():
-                if k.split("@")[0] in self._dist_metrics:
-                    out[self._key(k)] = float(np.asarray(flags).mean())
+        for k, flags in cov_fetched.items():
+            out[self._key(k)] = float(np.asarray(flags).mean())
 
         if self._group_features:
-            users = np.asarray(jax.device_get(
-                jnp.concatenate(self._per_user_users)))[valid]
+            users = np.asarray(users_dev)[valid]
             for fname, feat in self._group_features.items():
                 codes = np.asarray(feat.table)[users]
                 inv = {v: k for k, v in feat.value_map.items()}

@@ -74,6 +74,10 @@ from sibrar_tpu.ops.sparse import scatter_fill_rows
 _NEG = -1e30
 _PEELED = float("-inf")  # strictly below any live score incl. the -1e30 mask
 
+# Above this exclusion width the corrected-wmax pass's [B, E, NW] broadcast
+# reductions get expensive; fall back to the +E window margin there.
+_CORR_MAX_E = 512
+
 
 # ---------------------------------------------------------- value-peel kernel
 def _peel_values_kernel(x_ref, vals_ref, *, t: int):
@@ -269,7 +273,29 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
     if padded:  # fully-padded tail windows can't win
         win_ok = (jnp.arange(nw, dtype=jnp.int32) * w) < c_real
         wmax = jnp.where(win_ok[None, :], wmax, _NEG)
-    m = min(k + e + (1 if padded else 0), nw)
+
+    correct_wmax = 0 < e <= _CORR_MAX_E
+    if correct_wmax:
+        # exact post-exclusion maxima for the ≤E affected windows: gather
+        # them, mask the user's excluded lanes, re-max, and splice back.
+        # This removes the +E window margin entirely (m = k+1 instead of
+        # k+E+1): selection by corrected maxima needs no displacement slack,
+        # every downstream stage shrinks by ~E/k, and peel viability stops
+        # depending on user-history length.
+        excl_w = jnp.where(excl_mask, excl_cols // w, nw)  # nw: no window
+        ge = gather_fn(jnp.where(excl_mask, excl_cols // w, 0))  # [B, E, W]
+        same_w = ((excl_w[:, None, :] == excl_w[:, :, None])
+                  & excl_mask[:, None, :]).astype(jnp.float32)  # [B, E, E]
+        oh_le = (excl_cols[:, :, None] % w
+                 == jnp.arange(w, dtype=jnp.int32)).astype(jnp.float32)
+        dead_e = jnp.einsum("bef,bfl->bel", same_w, oh_le) > 0.0
+        corr = jnp.where(dead_e, _PEELED, ge).max(-1)  # [B, E]
+        match = excl_w[:, :, None] == jnp.arange(nw, dtype=jnp.int32)
+        corr_b = jnp.max(jnp.where(match, corr[:, :, None], _NEG), axis=1)
+        wmax = jnp.where(match.any(axis=1), corr_b, wmax)
+        m = min(k + (1 if padded else 0), nw)  # exact maxima: no margin
+    else:
+        m = min(k + e + (1 if padded else 0), nw)
     t = min(t, w)
 
     _, widx = lax.top_k(wmax, m)  # [B, m] raw-max window selection
@@ -464,9 +490,11 @@ def peel_masked_topk(u: jax.Array, items: jax.Array,
 
 def peel_viable(c: int, k: int, e: int, *, window: int = 128,
                 t: int = 12) -> bool:
-    """Static dispatch predicate: peeling wins when the margin window set is
-    a small fraction of the catalog (heavy-history users blow up the margin
-    m = k + E + 1 — the scatter path handles those better)."""
+    """Static dispatch predicate: peeling wins when the selected window set
+    is a small fraction of the catalog. With the corrected-wmax pass the
+    margin no longer depends on E (m = k+1) up to ``_CORR_MAX_E``; beyond
+    that the +E margin applies and the scatter path wins for wide margins."""
     nw = -(-c // window)
-    m = min(k + e + 1, nw)
+    margin = 1 if 0 <= e <= _CORR_MAX_E else e + 1
+    m = min(k + margin, nw)
     return m * t >= k and 2 * m <= nw

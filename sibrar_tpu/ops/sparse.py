@@ -152,6 +152,26 @@ def csr_contains(csr: DeviceCSR, rows: jax.Array, cols: jax.Array) -> jax.Array:
     return found.reshape(shape)
 
 
+def csr_contains_rows(csr: DeviceCSR, rows: jax.Array, cols: jax.Array
+                      ) -> jax.Array:
+    """Membership of ``cols[b, k]`` in row ``rows[b]`` — the row-batched case
+    of `csr_contains` (evaluator hit tests, negative-sampling exclusion).
+
+    For short rows the whole column list is gathered once per row and
+    compared (B·K·L lane-ops — measured 1.7 ms vs 8.5 ms for the bisection
+    at B=1024, K=100, L≈80 on v5e: the bisection's per-element index gathers
+    scalarize at ~20 ns each). Long rows keep the fixed-iteration bisection,
+    whose gather count is K·log L instead of L per row."""
+    if csr.nnz == 0:
+        return jnp.zeros((*rows.shape, cols.shape[-1]), bool)
+    if csr.max_row_len <= 128:
+        row_cols, row_mask = csr_row_gather(csr, rows)  # [B, L]
+        hit = ((cols[..., None] == row_cols[..., None, :])
+               & row_mask[..., None, :])
+        return hit.any(-1)
+    return csr_contains(csr, rows[..., None], cols)
+
+
 @partial(jax.jit, static_argnames=("n_cols", "fill"))
 def scatter_fill_rows(
     scores: jax.Array, cols: jax.Array, mask: jax.Array, *, n_cols: int,

@@ -196,12 +196,32 @@ def test_peel_degenerate_constant_scores():
     _check(v, i, s, ov)
 
 
+def test_peel_corrected_wmax_heavy_exclusion_padded():
+    """E ≫ k with a padded catalog: the corrected-wmax pass (m = k+1, no +E
+    margin) must stay exact — exclusion-displaced windows are re-maxed
+    exactly, fully-excluded windows drop out, pad lanes never win."""
+    rng = np.random.default_rng(12)
+    b, c, k, e = 4, 2000, 10, 300
+    s = rng.normal(size=(b, c)).astype(np.float32)
+    cols = np.stack([np.sort(rng.choice(c, size=e, replace=False))
+                     for _ in range(b)]).astype(np.int32)
+    cols[0, :128] = np.arange(128)  # user 0: window 0 fully excluded
+    mask = np.ones((b, e), bool)
+    ov, _ = _oracle(jnp.asarray(s), cols, mask, k)
+    v, i = peel_masked_topk_scores(jnp.asarray(s), jnp.asarray(cols),
+                                   jnp.asarray(mask), k, t=8, interpret=True)
+    _check(v, i, s, ov, cols, mask)
+
+
 def test_peel_viable_dispatch_bounds():
     assert peel_viable(100_352, 100, 0)
     assert peel_viable(100_352, 100, 64)
+    # corrected wmax: viability no longer depends on E up to _CORR_MAX_E
+    assert peel_viable(100_352, 100, 400)
+    assert peel_viable(8192, 30, 30)
     assert not peel_viable(4096, 100, 5000)   # margin swallows the catalog
-    assert not peel_viable(2048, 100, 0, t=16) or True  # small c: 2m<=nw rules
-    assert not peel_viable(8192, 30, 30)      # 2*(61) > 64 windows
+    assert not peel_viable(8192, 100, 5000)   # beyond _CORR_MAX_E: +E margin
+    assert not peel_viable(2048, 100, 0)      # 2*(k+1) > 16 windows
 
 
 def test_masked_topk_peel_method_matches_full():
