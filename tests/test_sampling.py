@@ -113,3 +113,29 @@ def test_sample_user_positives_replacement_semantics():
     assert set(out[0]) <= {3, 5, 7, 9}
     assert set(out[1]) == {2}  # short history -> sampled with replacement
     assert set(out[2]) == {4}
+
+
+def test_segment_gather_matches_element_gather():
+    """The Pallas segment-gather (aligned block + dynamic roll) must agree
+    with the XLA element-gather path for ragged rows incl. empty ones."""
+    from sibrar_tpu.ops import sparse as sp_ops
+
+    rng = np.random.default_rng(5)
+    n_rows, n_cols = 40, 700
+    mat = sp.random(n_rows, n_cols, density=0.15, random_state=3, format="csr")
+    mat.data[:] = 1
+    mat[7] = 0  # an empty row
+    mat.eliminate_zeros()
+    csr = sp_ops.DeviceCSR.from_scipy(mat)
+    rows = jnp.asarray(rng.integers(0, n_rows, size=24), jnp.int32)
+
+    # element-gather reference (force by exceeding the seg gate)
+    orig = sp_ops._SEG_GATHER_MAX_BYTES
+    try:
+        sp_ops._SEG_GATHER_MAX_BYTES = 0
+        ref_cols, ref_mask = sp_ops.csr_row_gather(csr, rows)
+    finally:
+        sp_ops._SEG_GATHER_MAX_BYTES = orig
+    seg_cols, seg_mask = sp_ops.csr_row_gather(csr, rows, interpret=True)
+    np.testing.assert_array_equal(np.asarray(seg_cols), np.asarray(ref_cols))
+    np.testing.assert_array_equal(np.asarray(seg_mask), np.asarray(ref_mask))

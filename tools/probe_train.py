@@ -59,6 +59,15 @@ def main():
         from sibrar_tpu.models import layers
 
         layers.BAG_BREAK_EVEN_FACTOR = 0  # force the embedding-bag path
+    elif variant == "cmprows":
+        # negative sampling via csr_contains_rows (segment gather + compare)
+        from sibrar_tpu.data import sampling
+        from sibrar_tpu.ops.sparse import csr_contains_rows
+
+        def patched(csr, rows, cols):
+            return csr_contains_rows(csr, rows[:, 0], cols)
+
+        sampling.csr_contains = patched
     elif variant == "flatscatter":
         import jax.numpy as jnp
 
