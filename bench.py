@@ -92,6 +92,36 @@ def bench_jax() -> tuple[float, float]:
     return B * C * ITERS / dt, dt / ITERS * 1e3
 
 
+def bench_jax_fused() -> float:
+    """The fully fused matmul→top-k variant (`peel_masked_topk`): the [B, C]
+    score matrix never materializes. This is the path dot-product models take
+    through the evaluator (`eval/evaluator.make_dot_eval_batch`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sibrar_tpu.ops.pallas_peel import peel_masked_topk
+
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    it = jnp.asarray(rng.normal(size=(C, D)).astype(np.float32))
+    cols = jnp.asarray(
+        np.sort(rng.integers(0, C, size=(B, EXCL)), axis=1).astype(np.int32))
+    mask = jnp.ones((B, EXCL), bool)
+
+    @jax.jit
+    def step(u):
+        return peel_masked_topk(u, it, cols, mask, K)
+
+    v, i = step(u)
+    v.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        v, i = step(u)
+    v.block_until_ready()
+    dt = time.perf_counter() - t0
+    return B * C * ITERS / dt
+
+
 def bench_torch() -> float:
     try:
         import torch
@@ -356,11 +386,13 @@ def main():
     enable_compilation_cache()
     parity = bench_parity_subprocess()
     ours, eval_ms = bench_jax()
+    fused = bench_jax_fused()
     train_sps, train_ms = bench_train_jax()
     base = bench_torch()
     base_train = bench_train_torch()
     extras = {
         "eval_ms_per_step": round(eval_ms, 3),
+        "fused_items_per_sec": round(fused),
         "train_steps_per_sec": round(train_sps, 2),
         "train_ms_per_step": round(train_ms, 3),
         "train_vs_torch_cpu": (round(train_sps / base_train, 2)

@@ -41,10 +41,11 @@ def main():
     if mode == "dot":
         score_fn.dot_parts = (lambda u: u_mat[u], items)
 
-    if mode in ("batch", "topk", "hits", "cov"):
+    if mode in ("batch", "topk", "hits", "cov", "posgather", "poscmp",
+                "npos"):
         import jax
         from sibrar_tpu.ops.topk import masked_topk
-        from sibrar_tpu.ops.sparse import csr_contains
+        from sibrar_tpu.ops.sparse import csr_contains, csr_row_gather
         from sibrar_tpu.eval.metrics import coverage_flags, user_metrics_from_hits
 
         data = ev.data
@@ -57,8 +58,20 @@ def main():
                                           return_ok=True)
             if mode == "topk":
                 return jnp.sum(topk_idx) + ok
-            hits = csr_contains(data.pos_csr, u[:, None], topk_idx
-                                ).astype(jnp.float32)
+            if mode == "posgather":
+                pc, pm = csr_row_gather(data.pos_csr, u)
+                return jnp.sum(topk_idx) + jnp.sum(pc) + jnp.sum(pm) + ok
+            if mode == "poscmp":
+                pc, pm = csr_row_gather(data.pos_csr, u)
+                hit = ((topk_idx[..., None] == pc[:, None, :])
+                       & pm[:, None, :]).any(-1)
+                return jnp.sum(topk_idx) + jnp.sum(hit) + ok
+            if mode == "npos":
+                n_pos = data.pos_csr.indptr[u + 1] - data.pos_csr.indptr[u]
+                return jnp.sum(topk_idx) + jnp.sum(n_pos) + ok
+            from sibrar_tpu.ops.sparse import csr_contains_rows
+            hits = csr_contains_rows(data.pos_csr, u, topk_idx
+                                     ).astype(jnp.float32)
             n_pos = data.pos_csr.indptr[u + 1] - data.pos_csr.indptr[u]
             if mode == "hits":
                 return jnp.sum(hits) + jnp.sum(n_pos)
