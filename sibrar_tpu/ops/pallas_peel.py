@@ -15,18 +15,22 @@ scalar chain (≈94 ms at B=1024 — no cross-user ILP). Two measured findings
 
 Pipeline:
 
-1. window phase (existing kernels, `ops/pallas_window.py`): scores land in
-   the `[NW, B, W]` windowed tiling with per-window maxima as a free epilogue;
-2. select the top-``m = k + E (+1)`` windows per user by raw window max
-   (covering theorem with exclusion margin, see `ops/topk.py`);
-3. gather them user-major (``[B, m, W]``, kernel below) so every downstream
-   reshape is a free row-major view;
+1. window phase: per-window maxima either as the `score_windows` MXU
+   epilogue (`ops/pallas_window.py`, fused matmul path) or as a free-view
+   XLA reshape-reduce over a precomputed [B, C] matrix;
+2. correct the maxima of the ≤E windows containing the user's excluded
+   items (gather those windows, mask the excluded lanes, re-max, splice) —
+   with EXACT post-exclusion maxima the covering theorem needs no margin:
+   select only the top-``m = k (+1 if padded)`` windows per user. (Beyond
+   ``_CORR_MAX_E`` excluded items the +E margin path remains.)
+3. gather the selected windows user-major (``[B, m, W]``) so every
+   downstream reshape is a free row-major view;
 4. mask the excluded lanes of the gathered windows with a batched one-hot
    MXU matmul (``[E, m] @ [E, W]`` per user — no scalarized scatter, no
    [B, C] pass). Exclusion MUST happen before the peel: excluded train items
    score high and cluster in id space (popular ids adjoin), so they would
    otherwise eat a window's peel budget and force the fallback for exactly
-   the users the margin exists for;
+   the users the selection correction exists for;
 5. **value-peel kernel**: ``t`` rounds of (row-max → clear ALL tied lanes)
    → the top-t *distinct* values per window, ~17 vector ops/round/vreg;
 6. merged `lax.top_k` over the ``m·t`` peeled values per user (n = m·t ≪
@@ -53,12 +57,11 @@ hardware parity checks bit-exact):
 - scatter + windowed lax.top_k (r1 production): 11.96 ms — of which the XLA
   exclusion scatter alone is 4.2 ms and the (n=12800, k=100) top-k ~4.5 ms;
 - peel on precomputed scores (`masked_topk(method="peel")`, the `auto`
-  choice on TPU): **~8 ms** (12.3–13.0e9 items/s) — no scatter (exclusion
-  rides the window margin + one-hot masks), no retile (window maxima are a
-  free-view XLA reduce, windows gathered straight off [B, C] with
-  `pl.multiple_of`-aligned dynamic lane slices);
-- fused matmul→top-k (`peel_masked_topk`, t=12): **6.4 ms**
-  (16.1e9 items/s).
+  choice on TPU): **7.1 ms** (14.5e9 items/s) — no scatter (corrected
+  maxima + one-hot masks), no retile (windows gathered straight off [B, C]
+  with `pl.multiple_of`-aligned dynamic lane slices); 8.4 ms at E=250;
+- fused matmul→top-k (`peel_masked_topk`, t=12): **6.1 ms**
+  (16.9e9 items/s).
 """
 from __future__ import annotations
 

@@ -114,10 +114,12 @@ def masked_topk(scores: jax.Array, exclude_csr: DeviceCSR, u_idxs: jax.Array,
       window margin inflates the final `lax.top_k` to (n=21120, k=164),
       and XLA's top-k costs ≈ n·k·4.6 ns per 1024 rows — it dominates
       everything. Kept as the substrate for a future in-kernel selection.
-    - ``peel``: scatter exclusion + windowed retile + the vectorized peel
-      selection kernel (`ops/pallas_peel.py`) replacing the dominating
-      (n=k·W, k) `lax.top_k` with an (n=k·t, k) one. Exact (covering theorem
-      + in-kernel peel-completeness check with a rare dense fallback).
+    - ``peel``: the vectorized value-peel selection pipeline
+      (`ops/pallas_peel.py`) — scatter-free exclusion via corrected window
+      maxima + one-hot masks, direct aligned window gathers off [B, C],
+      and an (n=k·t, k) merged `lax.top_k` instead of the dominating
+      (n=k·W, k) one. Exact (covering theorem + peel-completeness checks
+      with a rare dense fallback/redo).
     - ``auto``: scatter for large catalogs, full for tiny ones. (The
       noscatter variant measured ~40× slower on v5e — the candidate-phase
       CSR-bisection gathers do not vectorize well; the round-1 ``pallas``
