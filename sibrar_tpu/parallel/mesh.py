@@ -116,8 +116,12 @@ def sharded_topk(
     local_c = c // n_shards
 
     def local_topk(s):  # s: [B, local_c]
+        from sibrar_tpu.ops.topk import windowed_topk
+
         kk = min(k, local_c)
-        v, i = jax.lax.top_k(s, kk)
+        # exact windowed top-k per shard (falls back to lax.top_k when the
+        # local slice is too small for windowing to pay)
+        v, i = windowed_topk(s, kk)
         shard_id = jax.lax.axis_index(ITEM_AXIS)
         i = i + shard_id * local_c
         if kk < k:  # pad so the gathered layout is uniform
@@ -128,7 +132,12 @@ def sharded_topk(
         v_all = jax.lax.all_gather(v, ITEM_AXIS, axis=1, tiled=True)
         i_all = jax.lax.all_gather(i, ITEM_AXIS, axis=1, tiled=True)
         vk, pos = jax.lax.top_k(v_all, k)
-        return vk, jnp.take_along_axis(i_all, pos, axis=1)
+        # integer one-hot contraction: a take_along_axis lane gather
+        # scalarizes at ~20 ns/element on TPU (and a float einsum would ride
+        # the MXU's lossy bf16 passes — indices must stay bit-exact)
+        oh = pos[:, :, None] == jnp.arange(i_all.shape[1], dtype=pos.dtype)
+        idx = jnp.sum(jnp.where(oh, i_all[:, None, :], 0), axis=-1)
+        return vk, idx
 
     fn = shard_map(
         local_topk,
