@@ -169,6 +169,8 @@ class SingleBranchNetEntity(RecModel):
         all_proj = jnp.stack(
             [self._modality_projection(m, idxs, True) for m in self._mods],
             axis=-2)
+        # (measured: this d-vector gather along the small modality axis does
+        # NOT scalarize on TPU — an exact where-sum alternative timed equal)
         picked = jnp.take_along_axis(
             all_proj, sampled[..., None], axis=-2)  # [..., k, d]
         encoded = self._branch(picked, train=True)  # [..., k, output_dim]
