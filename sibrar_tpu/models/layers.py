@@ -280,6 +280,11 @@ class InteractionVectorModule(nn.Module):
 # the densify scatter + [B, n_cols] matmul and per-example row gathers.
 BAG_BREAK_EVEN_FACTOR = 256
 
+# Fused sparse-input matmul (ops/pallas_spmm) instead of densify+matmul on
+# the non-bag path: "auto" = TPU only, True = force (tests/probes use the
+# interpret-capable kernels), False = off.
+INTERACTION_SPMM = False
+
 
 class InteractionTower(nn.Module):
     """MLP tower over an entity's train-interaction vector, with a sparse
@@ -336,6 +341,9 @@ class InteractionTower(nn.Module):
                         n_cols=self.n_cols, max_row_len=self.max_row_len)
 
         use_bag = BAG_BREAK_EVEN_FACTOR * max(self.max_row_len, 1) <= self.n_cols
+        use_spmm = (not use_bag and INTERACTION_SPMM
+                    and (INTERACTION_SPMM in (True, "interpret")
+                         or jax.default_backend() == "tpu"))
         if use_bag:
             cols, mask = csr_row_gather(csr, idxs)  # [..., L]
             gathered = jnp.take(kernel, cols, axis=0)  # [..., L, h]
@@ -343,6 +351,20 @@ class InteractionTower(nn.Module):
             if self.normalize:
                 nnz_row = mask.sum(axis=-1, keepdims=True)
                 pre = pre / jnp.maximum(jnp.sqrt(nnz_row), 1e-8)
+        elif use_spmm:
+            # fused 0/1-row × kernel matmul: the dense [B', n_cols] matrix
+            # never materializes (ops/pallas_spmm); rows flattened so the
+            # segment gather's 1-D fast path applies
+            from sibrar_tpu.ops.pallas_spmm import spmm_onehot
+
+            flat = idxs.reshape(-1)
+            interp = INTERACTION_SPMM == "interpret"
+            cols, mask = csr_row_gather(csr, flat, interpret=interp)
+            pre = spmm_onehot(cols, mask, kernel, interp)
+            if self.normalize:  # ‖0/1 row‖₂ = sqrt(nnz)
+                nnz_row = mask.sum(axis=-1, keepdims=True)
+                pre = pre / jnp.maximum(jnp.sqrt(nnz_row), 1e-8)
+            pre = pre.reshape(*idxs.shape, kernel.shape[1])
         else:
             from sibrar_tpu.ops.sparse import csr_rows_to_dense
 

@@ -86,3 +86,35 @@ def test_multi_layer_tower():
     out = tower.apply(variables, idxs)
     assert out.shape == (2, 8)
     assert np.all(np.asarray(out) >= 0)
+
+
+def test_interaction_tower_spmm_path_matches_dense():
+    """The fused spmm path must reproduce the densify+matmul path (values and
+    kernel gradients), incl. normalize and multi-dim idxs."""
+    from sibrar_tpu.models import layers as L
+
+    tower, tables, csr = _tower_and_tables(
+        12, 64, nnz_per_row=10, layer_sizes=(16,), normalize=True)
+    idxs = jnp.asarray([[1, 2], [0, 5]], jnp.int32)  # [B, 1+n] train layout
+    variables = tower.init(jax.random.PRNGKey(0), idxs)
+    variables = {"params": variables["params"], "tables": tables}
+
+    def run():
+        out = tower.apply(variables, idxs)
+        grad = jax.grad(lambda p: jnp.sum(tower.apply(
+            {"params": p, "tables": tables}, idxs) ** 2))(variables["params"])
+        return out, grad
+
+    ref_out, ref_grad = run()
+    orig = L.INTERACTION_SPMM
+    try:
+        L.INTERACTION_SPMM = "interpret"
+        got_out, got_grad = run()
+    finally:
+        L.INTERACTION_SPMM = orig
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_grad),
+                    jax.tree_util.tree_leaves(got_grad)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)

@@ -59,6 +59,10 @@ def main():
         from sibrar_tpu.models import layers
 
         layers.BAG_BREAK_EVEN_FACTOR = 0  # force the embedding-bag path
+    elif variant == "spmm":
+        from sibrar_tpu.models import layers
+
+        layers.INTERACTION_SPMM = True  # fused sparse-input matmul path
     elif variant == "cmprows":
         # negative sampling via csr_contains_rows (segment gather + compare)
         from sibrar_tpu.data import sampling
