@@ -157,3 +157,38 @@ def test_cli_matrix_algorithm(artifact_dir, tmp_path):
              "-t", "train_val", "-c", str(conf), *_experiment_overrides(res))
     val = _read_metrics(res, "metrics_val.yml")
     assert np.isfinite(val["val/ndcg@10"])
+
+
+def test_cli_sweep_agent(artifact_dir, tmp_path):
+    """Sweep worker CLI end to end: 2 random trials of MF on the mini
+    dataset, best-trial JSON on stdout, per-trial result dirs on disk."""
+    sweep = tmp_path / "sweep.yml"
+    sweep.write_text(yaml.safe_dump({
+        "method": "random",
+        "metric": "val/ndcg@10",
+        "n_trials": 2,
+        "keep_top_runs": 1,
+        "seed": 1,
+        "parameters": {
+            "learn.lr": {"values": [0.001, 0.01]},
+            "model.embedding_dim": {"values": [8, 16]},
+        },
+        "base_config": {
+            "algorithm": "mf",
+            "dataset": {"dataset_path": str(artifact_dir)},
+            "learn": {"n_epochs": 1, "max_patience": 2,
+                      "optimizing_metric": "ndcg@10"},
+            "eval": {"top_k": [10]},
+            "loader": {"batch_size": 64, "eval_batch_size": 64},
+            "run_settings": {"device": "cpu"},
+        },
+    }))
+    out_dir = tmp_path / "sweep_out"
+    proc = _run_cli("sweep_agent.py", "-c", str(sweep), "-o", str(out_dir))
+    import json
+
+    best = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert best["metric"] == "val/ndcg@10"
+    assert np.isfinite(best["value"])
+    assert (out_dir / "sweep_records.json").exists() or any(
+        out_dir.iterdir())
