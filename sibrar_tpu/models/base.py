@@ -48,6 +48,17 @@ class RecModel(nn.Module):
         to a dot under some configs (e.g. bias-free MF) override this."""
         return type(self).combine is RecModel.combine
 
+    def eval_rank_dot_parts(self, user_repr_fn, i_repr):
+        """``(user_fn, item_matrix)`` whose per-user dot-product ranking equals
+        `combine`'s ranking, or None. Enables the evaluator's fused
+        matmul→top-k fast path (`eval/evaluator.make_dot_eval_batch`) for
+        models whose combine is a rank-preserving transform of a dot —
+        the fast path uses only the returned top-k INDICES, so monotone (or
+        per-user-constant-shift) transforms of the score are fair game."""
+        if self.combine_is_dot:
+            return user_repr_fn, i_repr
+        return None
+
     def combine(self, u_repr, i_repr):
         """Default: dot product; supports [B,1+n,d] batch and [C,d] catalog layouts
         (reference `/root/reference/algorithms/sgd_alg.py:2101-2114`)."""

@@ -45,6 +45,12 @@ class DeepMatrixFactorization(RecModel):
         i = self.item_nn(i_idxs, train=train)
         return _l2norm(i) if self.normalize_representations else i
 
+    def eval_rank_dot_parts(self, user_repr_fn, i_repr):
+        """max(cos, mu) ranks identically to the raw cosine (the clamp only
+        creates rank-arbitrary ties below mu, which torch.topk also breaks
+        arbitrarily) — normalize both sides and ride the fused dot path."""
+        return (lambda u: _l2norm(user_repr_fn(u))), _l2norm(i_repr)
+
     def combine(self, u_repr, i_repr):
         u = _l2norm(u_repr)
         i = _l2norm(i_repr)

@@ -73,6 +73,26 @@ class SGDMatrixFactorization(RecModel):
         return not (self.use_user_bias or self.use_item_bias
                     or self.use_global_bias)
 
+    def eval_rank_dot_parts(self, user_repr_fn, i_repr):
+        """User/global biases shift every item of a user equally — rank
+        invariant — and the item bias joins the dot as an appended column
+        against a constant 1, so every bias combination rides the fused
+        eval fast path."""
+        i_embed, i_bias = (i_repr if isinstance(i_repr, tuple)
+                           else (i_repr, None))
+
+        def u_fn(u_idxs):
+            r = user_repr_fn(u_idxs)
+            u_embed = r[0] if isinstance(r, tuple) else r
+            if i_bias is None:
+                return u_embed
+            return jnp.concatenate(
+                [u_embed, jnp.ones((u_embed.shape[0], 1), u_embed.dtype)], 1)
+
+        items = (i_embed if i_bias is None
+                 else jnp.concatenate([i_embed, i_bias[:, None]], axis=1))
+        return u_fn, items
+
     def combine(self, u_repr, i_repr):
         u_embed, u_bias = u_repr if isinstance(u_repr, tuple) else (u_repr, None)
         i_embed, i_bias = i_repr if isinstance(i_repr, tuple) else (i_repr, None)

@@ -288,19 +288,21 @@ class Trainer:
             lambda x: shard_catalog(x, self.mesh), i_repr)
         fn = lambda u_idxs: score_fn(variables, u_idxs, i_repr)  # noqa: E731
 
-        # dot-product models expose their parts so the evaluator can run the
-        # fused matmul→top-k path (evaluator.make_dot_eval_batch) instead of
-        # materializing [B, C] scores
-        if (self.mesh is None
-                and getattr(self.model, "combine_is_dot", False)
-                and isinstance(i_repr, jax.Array) and i_repr.ndim == 2):
-            u_fn = lambda u: self.model.apply(  # noqa: E731
+        # models whose combine ranks like a dot product expose their parts so
+        # the evaluator can run the fused matmul→top-k path
+        # (evaluator.make_dot_eval_batch) instead of materializing [B, C]
+        if self.mesh is None and hasattr(self.model, "eval_rank_dot_parts"):
+            u_raw_fn = lambda u: self.model.apply(  # noqa: E731
                 variables, u, train=False, method=self.model.user_repr)
-            u_shape = jax.eval_shape(u_fn, jnp.zeros((2,), jnp.int32))
-            if (isinstance(u_shape, jax.ShapeDtypeStruct)
-                    and len(u_shape.shape) == 2
-                    and u_shape.shape[1] == i_repr.shape[1]):
-                fn.dot_parts = (u_fn, i_repr)
+            parts = self.model.eval_rank_dot_parts(u_raw_fn, i_repr)
+            if parts is not None:
+                u_fn, items = parts
+                if isinstance(items, jax.Array) and items.ndim == 2:
+                    u_shape = jax.eval_shape(u_fn, jnp.zeros((2,), jnp.int32))
+                    if (isinstance(u_shape, jax.ShapeDtypeStruct)
+                            and len(u_shape.shape) == 2
+                            and u_shape.shape[1] == items.shape[1]):
+                        fn.dot_parts = (u_fn, items)
         return fn
 
     def validate(self) -> dict:

@@ -97,7 +97,8 @@ def test_dot_fast_path_matches_scores_path():
 
 
 def test_trainer_attaches_dot_parts():
-    """Bias-free MF and SBNet expose dot_parts; biased MF must not."""
+    """Plain MF exposes an exact dot; biased MF and DMF expose
+    rank-equivalent decompositions (bias column / normalized cosine)."""
     from sibrar_tpu.config.schema import DatasetConfig, LearningConfig
     from sibrar_tpu.models.mf import SGDMatrixFactorization
     from sibrar_tpu.train.trainer import Trainer
@@ -121,9 +122,35 @@ def test_trainer_attaches_dot_parts():
     np.testing.assert_allclose(np.asarray(u_fn(u) @ items.T),
                                np.asarray(plain(u)), rtol=1e-5, atol=1e-5)
 
-    biased = mk(SGDMatrixFactorization(n_users=30, n_items=40,
-                                       embedding_dim=8, use_item_bias=True))
-    assert not hasattr(biased, "dot_parts")
+    # all-biases MF: the decomposed dot must RANK like the real scores
+    biased = mk(SGDMatrixFactorization(
+        n_users=30, n_items=40, embedding_dim=8, use_item_bias=True,
+        use_user_bias=True, use_global_bias=True))
+    assert hasattr(biased, "dot_parts")
+    bu_fn, bitems = biased.dot_parts
+    dot_rank = np.argsort(-np.asarray(bu_fn(u) @ bitems.T), axis=1)
+    true_rank = np.argsort(-np.asarray(biased(u)), axis=1)
+    np.testing.assert_array_equal(dot_rank, true_rank)
+
+    # DMF: normalized dot ranks like the clamped cosine (above the clamp)
+    from sibrar_tpu.models.dmf import DeepMatrixFactorization
+    from sibrar_tpu.models.layers import interaction_tower_from
+
+    dd = tr.to_device()
+    dmf = DeepMatrixFactorization(
+        n_users=30, n_items=40,
+        u_tower=interaction_tower_from(dd, "user", [16]),
+        i_tower=interaction_tower_from(dd, "item", [16]),
+        final_dimension=16, mu=-2.0)  # mu below every cosine: no tie region
+    ev = FullEvaluator(EvalConfig(top_k=[5]), va, evaluator_name="val")
+    t = Trainer(dmf, tr, ev, learn, DatasetConfig(), batch_size=16, seed=0,
+                device_data=dd)
+    fn = t.make_score_fn()
+    assert hasattr(fn, "dot_parts")
+    du_fn, ditems = fn.dot_parts
+    dot_rank = np.argsort(-np.asarray(du_fn(u) @ ditems.T), axis=1)
+    true_rank = np.argsort(-np.asarray(fn(u)), axis=1)
+    np.testing.assert_array_equal(dot_rank, true_rank)
 
 
 def test_dot_fast_path_driver_redo_on_exactness_trip():
