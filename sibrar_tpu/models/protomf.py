@@ -200,6 +200,17 @@ class UIProtoMF(RecModel):
             self.sow("losses", "item_batch_loss", self.i_sim_batch_weight * batch)
         return i_sim, self.i_to_u(emb)
 
+    def eval_rank_dot_parts(self, user_repr_fn, i_repr):
+        """u_sim·i_proj + u_proj·i_sim is exactly the dot of the concatenated
+        parts — the fused eval fast path applies verbatim."""
+        i_sim, i_proj = i_repr
+
+        def u_fn(u_idxs):
+            u_sim, u_proj = user_repr_fn(u_idxs)
+            return jnp.concatenate([u_sim, u_proj], axis=1)
+
+        return u_fn, jnp.concatenate([i_proj, i_sim], axis=1)
+
     def combine(self, u_repr, i_repr):
         u_sim, u_proj = u_repr
         i_sim, i_proj = i_repr

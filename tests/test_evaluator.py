@@ -194,3 +194,27 @@ def test_dot_fast_path_driver_redo_on_exactness_trip():
     got = evaluate_model(fast_fn, ev2, batch_size=16)
     for key, v in ref.items():
         np.testing.assert_allclose(got[key], v, atol=1e-6, err_msg=key)
+
+
+def test_uiprotomf_dot_parts_exact():
+    """UIProtoMF's combine is exactly a dot of concatenated parts."""
+    from sibrar_tpu.config.schema import DatasetConfig, LearningConfig
+    from sibrar_tpu.models.protomf import UIProtoMF
+    from sibrar_tpu.train.trainer import Trainer
+
+    splits = make_synthetic_splits(n_users=30, n_items=40,
+                                   n_interactions=600, seed=6)
+    tr, va = splits["train"], splits["val"]
+    model = UIProtoMF(n_users=30, n_items=40, embedding_dim=8,
+                      u_n_prototypes=4, i_n_prototypes=5)
+    ev = FullEvaluator(EvalConfig(top_k=[5]), va, evaluator_name="val")
+    t = Trainer(model, tr, ev,
+                LearningConfig(n_epochs=1, lr=1e-3,
+                               optimizing_metric="ndcg@10"),
+                DatasetConfig(), batch_size=16, seed=0)
+    fn = t.make_score_fn()
+    assert hasattr(fn, "dot_parts")
+    u_fn, items = fn.dot_parts
+    u = jnp.arange(6, dtype=jnp.int32)
+    np.testing.assert_allclose(np.asarray(u_fn(u) @ items.T),
+                               np.asarray(fn(u)), rtol=1e-4, atol=1e-5)
