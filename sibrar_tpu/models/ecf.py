@@ -119,6 +119,13 @@ class ECF(RecModel):
     def item_repr(self, i_idxs, train: bool = False):
         return self._xs()[i_idxs], self.item_table[i_idxs]
 
+    def eval_rank_dot_parts(self, user_repr_fn, i_repr):
+        """The affiliation·interest product is a plain dot of the first
+        tuple elements — the embedding tables ride along only for the
+        training losses."""
+        x_i, _ = i_repr
+        return (lambda u_idxs: user_repr_fn(u_idxs)[0]), x_i
+
     def combine(self, u_repr, i_repr):
         a_u, _ = u_repr
         x_i, _ = i_repr

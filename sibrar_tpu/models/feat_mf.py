@@ -73,6 +73,24 @@ class _FeatureMF(RecModel):
             embed = parts[0]
         return embed, bias
 
+    def eval_rank_dot_parts(self, user_repr_fn, i_repr):
+        """Fused embedding dot + biases decomposes like MF: user/global
+        biases are per-user rank-invariant, the item bias joins as an
+        appended column."""
+        i_embed, i_bias = self._fuse(i_repr, self.entity == "item")
+
+        def u_fn(u_idxs):
+            u_embed, _ = self._fuse(user_repr_fn(u_idxs),
+                                    self.entity == "user")
+            if i_bias is None:
+                return u_embed
+            return jnp.concatenate(
+                [u_embed, jnp.ones((u_embed.shape[0], 1), u_embed.dtype)], 1)
+
+        items = (i_embed if i_bias is None
+                 else jnp.concatenate([i_embed, i_bias[:, None]], axis=1))
+        return u_fn, items
+
     def combine(self, u_repr, i_repr):
         u_embed, u_bias = self._fuse(u_repr, self.entity == "user")
         i_embed, i_bias = self._fuse(i_repr, self.entity == "item")

@@ -298,7 +298,11 @@ class Trainer:
             if parts is not None:
                 u_fn, items = parts
                 if isinstance(items, jax.Array) and items.ndim == 2:
-                    u_shape = jax.eval_shape(u_fn, jnp.zeros((2,), jnp.int32))
+                    try:  # models with host-side eval tables don't trace
+                        u_shape = jax.eval_shape(u_fn,
+                                                 jnp.zeros((2,), jnp.int32))
+                    except Exception:
+                        u_shape = None
                     if (isinstance(u_shape, jax.ShapeDtypeStruct)
                             and len(u_shape.shape) == 2
                             and u_shape.shape[1] == items.shape[1]):
@@ -430,6 +434,9 @@ class Trainer:
                 restored = flax.serialization.from_bytes(target, fh.read())
         else:
             raise FileNotFoundError(f"no train-state checkpoint in {path!r}")
+        # from_bytes yields numpy leaves; keep params as device arrays so
+        # traced eval paths (fused eval, dot fast path) stay usable
+        restored = jax.tree_util.tree_map(jnp.asarray, restored)
         self.state = self.state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
@@ -455,5 +462,7 @@ class Trainer:
             payload = {"params": self.state.params,
                        "batch_stats": self.state.batch_stats}
             restored = flax.serialization.from_bytes(payload, fh.read())
+        # from_bytes yields numpy leaves; traced eval paths need device arrays
+        restored = jax.tree_util.tree_map(jnp.asarray, restored)
         self.state = self.state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"])

@@ -218,3 +218,34 @@ def test_uiprotomf_dot_parts_exact():
     u = jnp.arange(6, dtype=jnp.int32)
     np.testing.assert_allclose(np.asarray(u_fn(u) @ items.T),
                                np.asarray(fn(u)), rtol=1e-4, atol=1e-5)
+
+
+def test_feat_mf_and_ecf_dot_parts_rank_equal():
+    """ifeatmf and ecf decompositions must rank like their real combines."""
+    from sibrar_tpu.config.schema import DatasetConfig, LearningConfig
+    from sibrar_tpu.models.registry import get_algorithm
+    from sibrar_tpu.train.trainer import Trainer
+
+    splits = make_synthetic_splits(n_users=30, n_items=40,
+                                   n_interactions=600, seed=8)
+    tr, va = splits["train"], splits["val"]
+    dd = tr.to_device()
+    learn = LearningConfig(n_epochs=1, lr=1e-3, optimizing_metric="ndcg@10")
+    confs = {
+        "ifeatmf": {"embedding_dim": 8, "feature_name": "audio",
+                    "feature_hidden_layers": [8], "use_item_bias": True},
+        "ecf": {"n_clusters": 6, "top_n": 3, "tag_feature": "genres"},
+    }
+    u = jnp.arange(5, dtype=jnp.int32)
+    for name, conf in confs.items():
+        spec = get_algorithm(name)
+        model = spec.build(conf, tr, dd)
+        ev = FullEvaluator(EvalConfig(top_k=[5]), va, evaluator_name="val")
+        t = Trainer(model, tr, ev, learn, DatasetConfig(), batch_size=16,
+                    seed=0, device_data=dd)
+        fn = t.make_score_fn()
+        assert hasattr(fn, "dot_parts"), name
+        u_fn, items = fn.dot_parts
+        dot_rank = np.argsort(-np.asarray(u_fn(u) @ items.T), axis=1)
+        true_rank = np.argsort(-np.asarray(fn(u)), axis=1)
+        np.testing.assert_array_equal(dot_rank, true_rank, err_msg=name)
