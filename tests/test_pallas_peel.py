@@ -245,3 +245,45 @@ def test_masked_topk_peel_method_matches_full():
         v, _ = masked_topk(s, csr, jnp.arange(4), 10, method="auto")
         vf, _ = masked_topk(s, csr, jnp.arange(4), 10, method="full")
         np.testing.assert_allclose(np.asarray(v), np.asarray(vf), rtol=1e-6)
+
+
+def test_peel_fuzz_panel_against_oracle():
+    """Seeded fuzz: random shapes, paddings, exclusion widths and score
+    distributions (normal / heavy-tailed / discrete / clustered) — values
+    must match the scatter+lax.top_k oracle everywhere."""
+    rng = np.random.default_rng(99)
+    for trial in range(12):
+        b = int(rng.integers(2, 10))
+        c = int(rng.integers(600, 4500))
+        k = int(rng.integers(1, 40))
+        e = int(rng.integers(0, 60))
+        t = int(rng.choice([2, 4, 8, 12]))
+        dist = trial % 4
+        if dist == 0:
+            s = rng.standard_normal((b, c))
+        elif dist == 1:
+            s = rng.standard_cauchy((b, c))  # heavy tails
+        elif dist == 2:
+            s = rng.integers(-5, 5, size=(b, c)).astype(float)  # many ties
+        else:
+            s = rng.standard_normal((b, c))
+            w0 = int(rng.integers(0, max(c // 128, 1))) * 128
+            s[:, w0:w0 + 128] += 10.0  # clustered winners
+        s = s.astype(np.float32)
+        if e:
+            cols = np.stack([np.sort(rng.choice(c, size=e, replace=False))
+                             for _ in range(b)]).astype(np.int32)
+            mask = rng.random((b, e)) < 0.9
+        else:
+            cols = mask = None
+        ov, _ = _oracle(jnp.asarray(s), cols, mask, min(k, c))
+        v, i = peel_masked_topk_scores(
+            jnp.asarray(s), None if cols is None else jnp.asarray(cols),
+            None if mask is None else jnp.asarray(mask), min(k, c), t=t,
+            interpret=True)
+        msg = f"trial {trial}: b={b} c={c} k={k} e={e} t={t} dist={dist}"
+        np.testing.assert_allclose(np.asarray(v), ov, rtol=1e-6, atol=1e-6,
+                                   err_msg=msg)
+        np.testing.assert_allclose(
+            np.take_along_axis(s, np.asarray(i), 1), ov, rtol=1e-6,
+            atol=1e-6, err_msg=msg)
