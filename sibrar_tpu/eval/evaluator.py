@@ -79,6 +79,14 @@ class FullEvaluator:
 
         self._eval_batch_raw = self._make_eval_batch()
         self._eval_batch = jax.jit(self._eval_batch_raw)
+        # only the peel top-k can report not-ok rows; when it cannot be
+        # chosen, skip the per-batch ok sync on the eager driver entirely
+        # (each host round trip costs ~25 ms through remote tunnels and
+        # would break the accumulate-on-device invariant for nothing)
+        self._peel_possible = (
+            jax.default_backend() == "tpu"
+            and getattr(config, "topk_method", "auto") in ("auto", "peel")
+            and (mesh is None or mesh.shape.get("item", 1) <= 1))
         self.reset()
 
     def reset(self):
@@ -122,7 +130,7 @@ class FullEvaluator:
                 if pad:
                     s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-1e30)
                 _, topk_idx = sharded_topk(s, k_max, mesh)
-                ok = jnp.asarray(True)
+                ok = jnp.ones(scores.shape[0], bool)
             else:
                 _, topk_idx, ok = masked_topk(
                     scores, data.exclude_csr, u_idxs, k_max, method=method,
@@ -195,8 +203,10 @@ class FullEvaluator:
         the end replaces per-batch per-metric host syncs (each device→host
         round trip costs real latency, painfully so through remote tunnels)."""
         metrics, cov, ok = self._eval_batch(scores, u_idxs)
-        if not bool(ok):  # rare peel-exactness redo (forces one device sync,
-            # but this eager path is itself the rare fallback driver)
+        if self._peel_possible and not bool(jnp.all(ok)):
+            # rare peel-exactness redo (forces one device sync, but this
+            # eager path is itself the rare fallback driver; when peel can't
+            # be chosen `ok` is constant-True and the sync is skipped)
             if not hasattr(self, "_jit_eval_batch_scatter"):
                 self._jit_eval_batch_scatter = jax.jit(self._scatter_eval_batch())
             metrics, cov, _ = self._jit_eval_batch_scatter(scores, u_idxs)
@@ -312,21 +322,27 @@ def evaluate_model(
                 return evaluator._eval_batch_raw(score_fn(u), u)
 
             metrics, covs, oks = run_map(fast_batch)
-            if not bool(jnp.all(oks)):
-                # a peel exactness check tripped somewhere: redo the whole
-                # eval with the fallback-free scatter variant (the in-graph
-                # lax.cond fallback is useless inside lax.map — XLA
-                # predicates loop-body conditionals, executing both branches
-                # every batch)
+            # oks is [n_batches, B] (per-row peel exactness flags); ONE host
+            # sync of the reduced per-batch flags, then redo only affected
+            # batches with the fallback-free scatter variant (the in-graph
+            # lax.cond fallback is useless inside lax.map — XLA predicates
+            # loop-body conditionals, executing both branches every batch)
+            bad = np.flatnonzero(~np.asarray(jnp.all(oks, axis=-1)))
+            if bad.size:
                 import logging
 
                 logging.getLogger(__name__).info(
                     "peel top-k exactness check tripped in %d/%d batches; "
-                    "re-running the evaluation with the scatter top-k",
-                    int(jnp.sum(~oks)), n_batches)
-                scatter_batch = evaluator._scatter_eval_batch()
-                metrics, covs, _ = run_map(
-                    lambda u: scatter_batch(score_fn(u), u))
+                    "re-running those batches with the scatter top-k",
+                    int(bad.size), n_batches)
+                scatter_batch = jax.jit(evaluator._scatter_eval_batch())
+                for bi in bad:
+                    m_b, c_b, _ = scatter_batch(score_fn(u_dev[bi]),
+                                                u_dev[bi])
+                    metrics = {k: v.at[bi].set(m_b[k])
+                               for k, v in metrics.items()}
+                    covs = {k: v.at[bi].set(c_b[k])
+                            for k, v in covs.items()}
             # flatten batch structure; OR-reduce coverage across batches
             metrics = {k: v.reshape(-1) for k, v in metrics.items()}
             for k, flags in covs.items():

@@ -260,7 +260,8 @@ def gather_subwindows(g: jax.Array, slots: jax.Array, *, gb: int = 8,
 # ------------------------------------------------------------- orchestration
 def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
                  nw: int, w: int, fallback_fn, *, t: int,
-                 interpret: bool, with_fallback: bool = True):
+                 interpret: bool, with_fallback: bool = True,
+                 b_real: int | None = None):
     """Shared peel pipeline: window selection → gather → pre-peel exclusion →
     value peel → merged top-k → winner-only index recovery → exactness
     checks with a `lax.cond` dense fallback.
@@ -269,8 +270,15 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
     All index motion avoids XLA element gathers (which scalarize at
     ~20 ns/element on TPU); winner window ids use an integer one-hot
     contraction (a float einsum would ride the MXU's lossy bf16 passes).
+
+    ``b_real`` masks batch-padding rows (appended when B % tb != 0) out of
+    the exactness checks: pad rows have constant scores, so every winner
+    value ties across its whole window (n_hit = W) — without the mask the
+    uniqueness check is identically False and every padded batch silently
+    takes the dense fallback.
     """
     b = wmax.shape[0]
+    b_real = b if b_real is None else b_real
     e = excl_cols.shape[1]
     padded = nw * w > c_real
     if padded:  # fully-padded tail windows can't win
@@ -344,14 +352,19 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
     n_hit = jnp.sum(hit, axis=-1)  # in-window duplicates of a winner value
     idx = widx_sel * w + jnp.minimum(lane, w - 1)
 
-    # exactness checks (docstring item 8). A -inf winner means the selected
-    # windows ran out of distinct values before filling k slots (duplicate-
-    # heavy degenerate scores) — the distinct-value merge under-counts there,
-    # so it must also take the dense fallback.
-    complete = jnp.all(vals[:, :, t - 1] <= v[:, kk - 1:kk])
-    unique = jnp.all(n_hit == 1)
-    all_live = jnp.all(v > _PEELED)
+    # exactness checks (docstring item 8), PER ROW. A -inf winner means the
+    # selected windows ran out of distinct values before filling k slots
+    # (duplicate-heavy degenerate scores) — the distinct-value merge
+    # under-counts there, so it must also take the dense fallback. Per-row
+    # flags let drivers redo only affected batches instead of the whole
+    # evaluation, and keep one degenerate user (e.g. cold items with equal
+    # embeddings sharing a window) from defeating the peel batch-wide.
+    complete = jnp.all(vals[:, :, t - 1] <= v[:, kk - 1:kk], axis=1)  # [B]
+    unique = jnp.all(n_hit == 1, axis=1)
+    all_live = jnp.all(v > _PEELED, axis=1)
     ok = complete & unique & all_live
+    if b_real < b:  # batch-padding rows never count against exactness
+        ok = ok | (jnp.arange(b, dtype=jnp.int32) >= b_real)
 
     if not with_fallback:
         # caller handles the (rare) not-ok redo at the driver level. This
@@ -378,13 +391,13 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
         fv, fi = lax.top_k(scores, kk)
         return fv, fi
 
-    return lax.cond(ok, _peeled, _fallback, operand=None)
+    return lax.cond(jnp.all(ok), _peeled, _fallback, operand=None)
 
 
 def peel_topk_windows(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
                       excl_mask: jax.Array, k: int, c_real: int, *,
                       t: int = 12, interpret: bool = False,
-                      with_fallback: bool = True):
+                      with_fallback: bool = True, b_real: int | None = None):
     """Exact top-k (+ per-user exclusion) from [NW, B, W] windowed scores
     (the `score_windows` fused-matmul layout) via value peeling."""
     nw, b, w = sw_t.shape
@@ -397,14 +410,15 @@ def peel_topk_windows(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
 
     return _peel_select(gather_fn, wmax, excl_cols, excl_mask, k, c_real,
                         nw, w, fallback_fn, t=t, interpret=interpret,
-                        with_fallback=with_fallback)
+                        with_fallback=with_fallback, b_real=b_real)
 
 
 def peel_topk_from_scores(scores: jax.Array, excl_cols: jax.Array,
                           excl_mask: jax.Array, k: int, c_real: int, *,
                           window: int = 128, t: int = 12,
                           interpret: bool = False,
-                          with_fallback: bool = True):
+                          with_fallback: bool = True,
+                          b_real: int | None = None):
     """Exact top-k (+ per-user exclusion) straight off a padded [B, C] score
     matrix: window maxima are one free-view XLA reshape-reduce and windows
     are gathered with aligned dynamic lane slices — the [NW, B, W] retile
@@ -418,7 +432,7 @@ def peel_topk_from_scores(scores: jax.Array, excl_cols: jax.Array,
 
     return _peel_select(gather_fn, wmax, excl_cols, excl_mask, k, c_real,
                         nw, window, lambda: scores, t=t, interpret=interpret,
-                        with_fallback=with_fallback)
+                        with_fallback=with_fallback, b_real=b_real)
 
 
 # ------------------------------------------------------------------ end-to-end
@@ -450,12 +464,12 @@ def peel_masked_topk_scores(scores: jax.Array, excl_cols: jax.Array | None,
     excl_cols, excl_mask = _pad_excl(excl_cols, excl_mask, b, bp)
     out = peel_topk_from_scores(scores, excl_cols, excl_mask, k, c,
                                 window=window, t=t, interpret=interpret,
-                                with_fallback=with_fallback)
+                                with_fallback=with_fallback, b_real=b)
     if with_fallback:
         v, idx = out
         return v[:b], idx[:b]
     v, idx, ok = out
-    return v[:b], idx[:b], ok
+    return v[:b], idx[:b], ok[:b]
 
 
 @functools.partial(jax.jit,
@@ -483,12 +497,13 @@ def peel_masked_topk(u: jax.Array, items: jax.Array,
     sw, wmax = score_windows(u, items, window=window, tb=tb, bc=bc,
                              interpret=interpret)
     out = peel_topk_windows(sw, wmax, excl_cols, excl_mask, k, c, t=t,
-                            interpret=interpret, with_fallback=with_fallback)
+                            interpret=interpret, with_fallback=with_fallback,
+                            b_real=b)
     if with_fallback:
         v, idx = out
         return v[:b], idx[:b]
     v, idx, ok = out
-    return v[:b], idx[:b], ok
+    return v[:b], idx[:b], ok[:b]
 
 
 def peel_viable(c: int, k: int, e: int, *, window: int = 128,

@@ -99,10 +99,11 @@ def masked_topk(scores: jax.Array, exclude_csr: DeviceCSR, u_idxs: jax.Array,
     (set to −∞). All methods are exact; they differ only in speed.
 
     With ``return_ok=True`` returns ``(values, indices, ok)`` where ``ok``
-    is a scalar bool and the peel method SKIPS its in-graph dense fallback:
-    callers inside `lax.scan`/`lax.map` bodies must use this and redo not-ok
-    batches themselves — XLA predicates `lax.cond` inside loop bodies, so
-    the in-graph fallback would execute (and bill) every iteration.
+    is a per-row [B] bool vector and the peel method SKIPS its in-graph dense
+    fallback: callers inside `lax.scan`/`lax.map` bodies must use this and
+    redo batches with any not-ok row themselves — XLA predicates `lax.cond`
+    inside loop bodies, so the in-graph fallback would execute (and bill)
+    every iteration. Non-peel methods are fallback-free and return all-True.
 
     - ``full``: scatter + plain `lax.top_k` (the baseline semantics).
     - ``scatter``: scatter + windowed top-k.
@@ -140,6 +141,23 @@ def masked_topk(scores: jax.Array, exclude_csr: DeviceCSR, u_idxs: jax.Array,
                       else "scatter")
         else:
             method = "scatter"
+    elif method == "peel":
+        # explicit request still has to pass the same gates the `auto` path
+        # applies: the Pallas kernels are TPU-only (they fail at runtime on
+        # CPU/GPU) and a non-viable geometry (m*t < k) would make the merged
+        # lax.top_k(n=m*t, k) an invalid call. Degrade to scatter with a log
+        # rather than crash — configs carry method across backends.
+        from sibrar_tpu.ops.pallas_peel import peel_viable
+
+        if (jax.default_backend() != "tpu"
+                or not peel_viable(c, k, exclude_csr.max_row_len)):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "topk method 'peel' requested but not usable here "
+                "(backend=%s, C=%d, k=%d, E=%d); using 'scatter'",
+                jax.default_backend(), c, k, exclude_csr.max_row_len)
+            method = "scatter"
 
     if method == "peel":
         # exclusion rides the peel's window margin + one-hot masking — the
@@ -154,7 +172,7 @@ def masked_topk(scores: jax.Array, exclude_csr: DeviceCSR, u_idxs: jax.Array,
 
     if return_ok:  # every non-peel method is fallback-free by construction
         v, i = masked_topk(scores, exclude_csr, u_idxs, k, method=method)
-        return v, i, jnp.asarray(True)
+        return v, i, jnp.ones(scores.shape[0], bool)
 
     if method == "pallas":
         from sibrar_tpu.ops.pallas_window import pallas_masked_topk_scores

@@ -287,3 +287,59 @@ def test_peel_fuzz_panel_against_oracle():
         np.testing.assert_allclose(
             np.take_along_axis(s, np.asarray(i), 1), ov, rtol=1e-6,
             atol=1e-6, err_msg=msg)
+
+
+def test_padded_batch_exactness_ok_stays_true():
+    """ADVICE r2 (medium): batch-padding rows (B % tb != 0) have constant
+    scores, so every winner value ties across its window — the exactness
+    checks must mask them out or `ok` is identically False and the peel
+    path is permanently defeated for padded batches."""
+    rng = np.random.default_rng(11)
+    b, c, k = 5, 2048, 10  # tb pads 5 → 8+ rows
+    s = rng.normal(size=(b, c)).astype(np.float32)  # a.s. well-separated
+    v, i, ok = peel_masked_topk_scores(jnp.asarray(s), None, None, k, t=8,
+                                       interpret=True, with_fallback=False)
+    ok = np.asarray(ok)
+    assert ok.shape == (b,)
+    assert ok.all(), "padding rows leaked into the exactness checks"
+    ov, _ = _oracle(jnp.asarray(s), None, None, k)
+    np.testing.assert_allclose(np.asarray(v), ov, rtol=1e-6, atol=1e-6)
+
+
+def test_padded_batch_fused_dot_ok_stays_true():
+    rng = np.random.default_rng(12)
+    b, c, d, k = 5, 2048, 64, 10
+    u = rng.normal(size=(b, d)).astype(np.float32)
+    it = rng.normal(size=(c, d)).astype(np.float32)
+    v, i, ok = peel_masked_topk(jnp.asarray(u), jnp.asarray(it), None, None,
+                                k, t=8, interpret=True, with_fallback=False)
+    ok = np.asarray(ok)
+    assert ok.shape == (b,)
+    assert ok.all()
+
+
+def test_explicit_peel_method_degrades_off_tpu():
+    """ADVICE r2 (low): method='peel' requested explicitly must not crash on
+    CPU (Pallas TPU kernels) nor with non-viable geometry — it degrades to
+    scatter with identical results."""
+    import jax
+
+    import scipy.sparse as sp
+
+    from sibrar_tpu.ops.sparse import DeviceCSR
+    from sibrar_tpu.ops.topk import masked_topk
+
+    rng = np.random.default_rng(13)
+    s = jnp.asarray(rng.normal(size=(4, 6000)).astype(np.float32))
+    rows = np.repeat(np.arange(4), 3)
+    cols = rng.integers(0, 6000, size=12)
+    csr = DeviceCSR.from_scipy(
+        sp.coo_matrix((np.ones(12), (rows, cols)), shape=(4, 6000)))
+    v, i = masked_topk(s, csr, jnp.arange(4), 10, method="peel")
+    vf, _ = masked_topk(s, csr, jnp.arange(4), 10, method="full")
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vf), rtol=1e-6)
+    if jax.default_backend() != "tpu":
+        # non-viable geometry: k close to c so 2*m > nw
+        v2, _ = masked_topk(s[:, :512], csr, jnp.arange(4), 100,
+                            method="peel")
+        assert np.asarray(v2).shape == (4, 100)
