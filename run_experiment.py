@@ -14,6 +14,7 @@ import argparse
 
 from sibrar_tpu.config.loader import get_config
 from sibrar_tpu.experiment import (
+    run_combine_experiment,
     run_gather,
     run_test,
     run_train_val,
@@ -24,6 +25,12 @@ from sibrar_tpu.models.registry import ALGORITHMS
 RUN_TYPES = ("train_val", "test", "train_val_test", "gather")
 SPLIT_TYPES = ("random", "temporal", "cold_start_user", "cold_start_item",
                "cold_start_both")
+# predict-time composition of two fitted runs — selectable like the
+# reference's `uiprotomfs_combine` enum entry
+# (/root/reference/algorithms/algorithms_utils.py:11-42) but, like there,
+# not buildable from a config (sgd_alg.py:871-875 raises): it takes the two
+# run directories instead of a conf/dataset pair.
+COMBINE_ALG = "uiprotomfs_combine"
 
 
 def main(argv=None):
@@ -35,19 +42,37 @@ def main(argv=None):
     enable_compilation_cache()
     parser = argparse.ArgumentParser(description="sibrar_tpu experiment runner")
     parser.add_argument("--algorithm", "-a", required=True,
-                        choices=sorted(ALGORITHMS))
-    parser.add_argument("--dataset_path", "-d", required=True,
+                        choices=sorted(ALGORITHMS) + [COMBINE_ALG])
+    parser.add_argument("--dataset_path", "-d", default=None,
                         help="preprocessed artifact directory (reference layout)")
     parser.add_argument("--dataset_name", "-n", default=None,
                         help="dataset name for the results tree (default: dir name)")
     parser.add_argument("--split_type", "-s", default=None, choices=SPLIT_TYPES)
     parser.add_argument("--run_type", "-t", default="train_val", choices=RUN_TYPES)
-    parser.add_argument("--conf_path", "-c", required=True,
+    parser.add_argument("--conf_path", "-c", default=None,
                         help="yaml/json experiment config (base_configs supported)")
     parser.add_argument("--override", "-o", action="append", default=[],
                         metavar="key.path=value",
                         help="config override, e.g. -o learn.lr=0.01")
+    parser.add_argument("--split_set", default="test",
+                        choices=("train", "val", "test"),
+                        help="split evaluated by gather / uiprotomfs_combine")
+    parser.add_argument("--gather_k", type=int, default=None,
+                        help="top-k export size for gather (default: max cutoff)")
+    parser.add_argument("--u_run_dir", default=None,
+                        help="uiprotomfs_combine: fitted UProtoMFs run dir")
+    parser.add_argument("--i_run_dir", default=None,
+                        help="uiprotomfs_combine: fitted IProtoMFs run dir")
     args = parser.parse_args(argv)
+
+    if args.algorithm == COMBINE_ALG:
+        if not (args.u_run_dir and args.i_run_dir):
+            parser.error(f"{COMBINE_ALG} requires --u_run_dir and --i_run_dir")
+        run_combine_experiment(args.u_run_dir, args.i_run_dir,
+                               split_set=args.split_set)
+        return
+    if not (args.dataset_path and args.conf_path):
+        parser.error("--dataset_path/-d and --conf_path/-c are required")
 
     import os
 
@@ -70,7 +95,7 @@ def main(argv=None):
     elif args.run_type == "train_val_test":
         run_train_val_test(conf)
     else:
-        run_gather(conf)
+        run_gather(conf, split_set=args.split_set, k=args.gather_k)
 
 
 if __name__ == "__main__":

@@ -233,6 +233,32 @@ class DatasetConfig:
 
 
 @dataclass
+class ParallelConfig:
+    """TPU-native parallel mapping (SURVEY.md §2.9): one (data, item) mesh.
+
+    The reference is single-device by construction
+    (`/root/reference/data/config_classes.py:159`); here multi-chip execution
+    is a first-class config block. ``enabled=None`` (the default) means auto:
+    use the mesh whenever more than one TPU device is visible — so a stock
+    config on a v5e-8 trains data-parallel and evaluates catalog-sharded
+    without any extra flags — and stay single-device on CPU hosts (where the
+    virtual multi-device platform exists for tests, which opt in explicitly).
+    """
+
+    enabled: Optional[bool] = None  # None → auto (multi-device TPU only)
+    n_devices: Optional[int] = None  # None → all visible devices
+    item_parallelism: Optional[int] = None  # None → auto (pow2 ≤ sqrt(n))
+    # round batch sizes up to the mesh's data-axis multiple instead of failing
+    adjust_batch_sizes: bool = True
+
+    def validate(self) -> None:
+        if self.n_devices is not None and self.n_devices <= 0:
+            raise ValueError("n_devices must be positive")
+        if self.item_parallelism is not None and self.item_parallelism <= 0:
+            raise ValueError("item_parallelism must be positive")
+
+
+@dataclass
 class WandbConfig:
     use_wandb: bool = False
     project: str = "sibrar_tpu"
@@ -255,6 +281,7 @@ class ExperimentConfig:
     eval: EvalConfig = field(default_factory=EvalConfig)
     loader: DataLoaderConfig = field(default_factory=DataLoaderConfig)
     run_settings: RunSettings = field(default_factory=RunSettings)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
     wandb: WandbConfig = field(default_factory=WandbConfig)
     train_eval: bool = False
     profile_training: bool = False

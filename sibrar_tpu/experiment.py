@@ -102,6 +102,37 @@ def _make_log_fn(conf: ExperimentConfig, wandb_run):
     return log
 
 
+def _make_run_mesh(conf: ExperimentConfig):
+    """Resolve conf.parallel into a device mesh (None on single-device runs)
+    and reconcile batch sizes with the mesh's data-axis multiple — the wiring
+    that makes a stock config on a v5e-8 run data-parallel + catalog-sharded
+    (SURVEY.md §2.9; the reference has no distributed execution at all)."""
+    from sibrar_tpu.parallel.mesh import (
+        batch_multiple,
+        make_mesh_from_config,
+        pad_to_multiple,
+    )
+
+    mesh = make_mesh_from_config(conf.parallel)
+    if mesh is None:
+        return None
+    mult = batch_multiple(mesh)
+    if conf.loader.batch_size % mult:
+        if not conf.parallel.adjust_batch_sizes:
+            raise ValueError(
+                f"loader.batch_size={conf.loader.batch_size} does not divide "
+                f"over the mesh data axis ({mult}); set "
+                f"parallel.adjust_batch_sizes or fix the batch size")
+        import logging
+
+        new = pad_to_multiple(conf.loader.batch_size, mult)
+        logging.getLogger(__name__).info(
+            "rounding loader.batch_size %d → %d to divide over the %d-way "
+            "data axis", conf.loader.batch_size, new, mult)
+        conf.loader.batch_size = new
+    return mesh
+
+
 # ------------------------------------------------------------------------ runs
 def _apply_run_settings(conf: ExperimentConfig) -> None:
     reproducible(conf.run_settings.seed)
@@ -118,9 +149,11 @@ def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
     yaml_save(os.path.join(results_path, "conf.yml"), as_dict(conf))
 
     spec = get_algorithm(conf.algorithm)
+    mesh = _make_run_mesh(conf)
     train_ds = _load_split(conf, "train")
     val_ds = _load_split(conf, "val")
-    evaluator = FullEvaluator(conf.eval, val_ds, evaluator_name="val")
+    evaluator = FullEvaluator(conf.eval, val_ds, evaluator_name="val",
+                              mesh=mesh)
 
     wandb_run = _maybe_wandb(conf)
     _log = log_fn or _make_log_fn(conf, wandb_run)
@@ -131,7 +164,7 @@ def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
         train_evaluator = None
         if conf.train_eval:  # metrics on the train interactions (reference flag)
             train_evaluator = FullEvaluator(conf.eval, train_ds,
-                                            evaluator_name="train")
+                                            evaluator_name="train", mesh=mesh)
         post_val_fn = None
         if conf.algorithm.endswith("protomf") or conf.algorithm.endswith("protomfs"):
             from sibrar_tpu.eval.explanations import protomf_post_val
@@ -147,6 +180,7 @@ def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
             results_path=results_path,
             log_fn=_log,
             device_data=device_data,
+            mesh=mesh,
             train_evaluator=train_evaluator,
             post_val_fn=post_val_fn,
             profile_dir=(os.path.join(results_path, "profile")
@@ -176,9 +210,11 @@ def run_test(conf: ExperimentConfig, log_fn=None) -> dict:
     results_path = _results_path(conf)
 
     spec = get_algorithm(conf.algorithm)
+    mesh = _make_run_mesh(conf)
     train_ds = _load_split(conf, "train")
     test_ds = _load_split(conf, "test")
-    evaluator = FullEvaluator(conf.eval, test_ds, evaluator_name="test")
+    evaluator = FullEvaluator(conf.eval, test_ds, evaluator_name="test",
+                              mesh=mesh)
 
     wandb_run = _maybe_wandb(conf)
     _log = log_fn or _make_log_fn(conf, wandb_run)
@@ -192,6 +228,7 @@ def run_test(conf: ExperimentConfig, log_fn=None) -> dict:
             eval_batch_size=conf.loader.eval_batch_size,
             seed=conf.run_settings.seed,
             device_data=device_data,
+            mesh=mesh,
             init_for_training=False,  # load-only: no init compile, no optimizer
         )
         trainer.load(results_path)
@@ -222,7 +259,8 @@ def run_combine_experiment(u_run_dir: str, i_run_dir: str,
     u_conf, u_score = reload_run(u_run_dir)
     i_conf, i_score = reload_run(i_run_dir)
     eval_ds = _load_split(u_conf, split_set)
-    evaluator = FullEvaluator(u_conf.eval, eval_ds, evaluator_name=split_set)
+    evaluator = FullEvaluator(u_conf.eval, eval_ds, evaluator_name=split_set,
+                              mesh=_make_run_mesh(u_conf))
     combined = UIProtoMFsCombine(u_score, i_score)
     metrics = evaluate_model(combined, evaluator,
                              u_conf.loader.eval_batch_size)
@@ -258,9 +296,11 @@ def run_gather(conf: ExperimentConfig, split_set: str = "test",
     results_path = _results_path(conf)
 
     spec = get_algorithm(conf.algorithm)
+    mesh = _make_run_mesh(conf)
     train_ds = _load_split(conf, "train")
     eval_ds = _load_split(conf, split_set)
-    evaluator = FullEvaluator(conf.eval, eval_ds, evaluator_name=split_set)
+    evaluator = FullEvaluator(conf.eval, eval_ds, evaluator_name=split_set,
+                              mesh=mesh)
 
     if spec.kind == "sgd":
         device_data = train_ds.to_device()
@@ -270,7 +310,7 @@ def run_gather(conf: ExperimentConfig, split_set: str = "test",
             batch_size=conf.loader.batch_size,
             eval_batch_size=conf.loader.eval_batch_size,
             seed=conf.run_settings.seed, device_data=device_data,
-            init_for_training=False)
+            mesh=mesh, init_for_training=False)
         trainer.load(results_path)
         score_fn = trainer.make_score_fn()
     else:

@@ -56,6 +56,31 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, ITEM_AXIS))
 
 
+def make_mesh_from_config(parallel) -> Optional[Mesh]:
+    """Resolve a `ParallelConfig` into a mesh (or None for single-device runs).
+
+    This is the experiment-layer entry point (`experiment.py` calls it in
+    every run type) — the piece that turns "multi-chip implemented" into
+    "multi-chip shipped": a stock config on a v5e-8 gets the (data, item)
+    mesh automatically. ``enabled=None`` auto-enables only on multi-device
+    TPU backends so single-chip runs and CPU hosts (including the 8-virtual-
+    device test platform, which opts in explicitly) see no behavior change.
+    """
+    if parallel is None:
+        return None
+    devs = jax.devices()
+    n = len(devs)
+    if parallel.n_devices is not None:
+        n = min(parallel.n_devices, n)
+    enabled = parallel.enabled
+    if enabled is None:
+        enabled = n > 1 and devs[0].platform == "tpu"
+    if not enabled or n <= 1:
+        return None
+    return make_mesh(n, item_parallelism=parallel.item_parallelism,
+                     devices=devs)
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding (leading axis over the data axis)."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -107,8 +132,6 @@ def sharded_topk(
 
     Returns global ``(values[B, k], indices[B, k])`` with indices in catalog space.
     """
-    from jax.experimental.shard_map import shard_map
-
     n_shards = mesh.shape[ITEM_AXIS]
     c = scores.shape[-1]
     if c % n_shards:
@@ -139,11 +162,11 @@ def sharded_topk(
         idx = jnp.sum(jnp.where(oh, i_all[:, None, :], 0), axis=-1)
         return vk, idx
 
-    fn = shard_map(
+    fn = jax.shard_map(
         local_topk,
         mesh=mesh,
         in_specs=P(None, ITEM_AXIS),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(scores)

