@@ -165,7 +165,7 @@ class Trainer:
         new_batch_stats = aux.get("batch_stats", state.batch_stats)
         return loss + reg, (loss, reg, new_batch_stats)
 
-    def _make_epoch_fn(self, n_batches: int):
+    def _make_epoch_fn(self, n_batches: int, tail: int = 0):
         data = self.data
         strategy = self.dataset_conf.negative_sampling_strategy
         n_catalog = self.train_dataset.n_items_in_split
@@ -191,7 +191,8 @@ class Trainer:
             i_cat = jnp.concatenate([pos_cat[:, None], negs_cat], axis=1)
             i_global = shard_batch(data.catalog[i_cat], mesh)  # [bs, 1+n_neg]
             labels = shard_batch(
-                jnp.zeros((bs, 1 + n_neg), jnp.float32).at[:, 0].set(1.0), mesh)
+                jnp.zeros((idxs.shape[0], 1 + n_neg), jnp.float32)
+                .at[:, 0].set(1.0), mesh)
 
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (total, (loss, reg, new_bs)), grads = grad_fn(
@@ -211,20 +212,48 @@ class Trainer:
         def epoch(state: TrainState, perm):
             batches = perm[: n_batches * bs].reshape(n_batches, bs)
             state, losses = jax.lax.scan(train_step, state, batches)
-            return state, losses.mean(axis=0)
+            mean = losses.mean(axis=0)
+            if tail:
+                # the final partial batch trains too — the reference iterates
+                # every interaction each epoch (its DataLoader simply emits a
+                # smaller last batch, /root/reference/train/trainer.py:204);
+                # this is one extra fixed-shape step inside the same jit, so
+                # no masking/weighting enters the loss math. The epoch mean
+                # weights it by its true size.
+                state, tail_losses = train_step(
+                    state, perm[n_batches * bs: n_batches * bs + tail])
+                frac = tail / bs
+                mean = (losses.sum(axis=0) + tail_losses * frac) / (
+                    n_batches + frac)
+            return state, mean
 
         return epoch
+
+    @staticmethod
+    def epoch_batch_plan(n_inter: int, batch_size: int,
+                         max_batches: Optional[int]) -> tuple[int, int]:
+        """(n_full_batches, tail_size): every interaction lands in exactly one
+        batch per epoch unless `max_batches_per_epoch` caps the count (then
+        the cap wins and there is no tail, same as the reference's cap at
+        trainer.py:225-228)."""
+        n_batches = n_inter // batch_size
+        tail = n_inter - n_batches * batch_size
+        if max_batches and n_batches >= max_batches:
+            return max_batches, 0
+        return n_batches, tail
 
     # ------------------------------------------------------------------- epoch api
     def train_epoch(self) -> Dict[str, float]:
         n_inter = len(np.asarray(self.data.train_users))
-        n_batches = n_inter // self.batch_size
-        if self.learn.max_batches_per_epoch:
-            n_batches = min(n_batches, self.learn.max_batches_per_epoch)
-        if n_batches == 0:
+        n_batches, tail = self.epoch_batch_plan(
+            n_inter, self.batch_size, self.learn.max_batches_per_epoch)
+        if n_batches == 0 and tail == 0:
             raise ValueError("not enough interactions for a single batch")
+        if n_batches == 0:  # fewer interactions than one batch: tail only
+            n_batches, tail = 1, 0
+            self.batch_size = min(self.batch_size, n_inter)
         if self._epoch_fn is None:
-            self._epoch_fn = self._make_epoch_fn(n_batches)
+            self._epoch_fn = self._make_epoch_fn(n_batches, tail)
         perm_key = jax.random.fold_in(self.state.rng, 1000003 + int(self.state.step))
         perm = jax.random.permutation(perm_key, n_inter)
         self.state, losses = self._epoch_fn(self.state, perm)

@@ -148,3 +148,53 @@ def test_chunked_catalog_encode_matches(splits):
     chunked = tr.make_score_fn(item_chunk=32)(u)  # 120 items → 4 chunks, pad 8
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_epoch_trains_tail_partial_batch(splits):
+    """VERDICT r2 #8: the reference iterates ALL interactions each epoch
+    (`/root/reference/train/trainer.py:204`); the tail partial batch must not
+    be dropped. Observable: the batch plan covers every interaction and the
+    step counter advances n_batches+1 times when bs does not divide nnz."""
+    tr = splits["train"]
+    n_inter = len(tr.interactions)
+    bs = 128
+    n_batches, tail = Trainer.epoch_batch_plan(n_inter, bs, None)
+    assert n_batches * bs + tail == n_inter  # every interaction in the plan
+    assert tail > 0, "fixture should produce a partial tail (adjust bs)"
+
+    model = SGDMatrixFactorization(n_users=tr.n_users, n_items=tr.n_items,
+                                   embedding_dim=8)
+    learn = LearningConfig(n_epochs=1, lr=5e-3, rec_loss="bpr")
+    ev = FullEvaluator(EvalConfig(top_k=[10]), splits["val"],
+                       evaluator_name="val")
+    trainer = Trainer(model, tr, ev, learn, DatasetConfig(), batch_size=bs,
+                      seed=0)
+    losses = trainer.train_epoch()
+    assert np.isfinite(losses["train/loss"])
+    assert int(trainer.state.step) == n_batches + 1  # tail step executed
+
+    # max_batches_per_epoch still caps (and then there is no tail step)
+    learn2 = LearningConfig(n_epochs=1, lr=5e-3, rec_loss="bpr",
+                            max_batches_per_epoch=3)
+    trainer2 = Trainer(model, tr, ev, learn2, DatasetConfig(), batch_size=bs,
+                       seed=0)
+    trainer2.train_epoch()
+    assert int(trainer2.state.step) == 3
+
+
+def test_small_dataset_single_partial_batch():
+    """Fewer interactions than one batch: train on the single smaller batch
+    (the reference DataLoader just yields one partial batch)."""
+    small = make_synthetic_splits(n_users=12, n_items=16, n_interactions=80,
+                                  seed=9)
+    tr = small["train"]
+    model = SGDMatrixFactorization(n_users=tr.n_users, n_items=tr.n_items,
+                                   embedding_dim=4)
+    learn = LearningConfig(n_epochs=1, lr=5e-3, rec_loss="bpr")
+    ev = FullEvaluator(EvalConfig(top_k=[5]), small["val"],
+                       evaluator_name="val")
+    trainer = Trainer(model, tr, ev, learn, DatasetConfig(),
+                      batch_size=4096, seed=0)
+    losses = trainer.train_epoch()
+    assert np.isfinite(losses["train/loss"])
+    assert int(trainer.state.step) == 1
