@@ -14,11 +14,14 @@ them into the pipeline's raw layout (`listening_history.csv`,
 """
 from __future__ import annotations
 
+import logging
 import os
 import zipfile
 
 import numpy as np
 import pandas as pd
+
+log = logging.getLogger(__name__)
 
 DATASET_URLS = {
     "ml100k": "https://files.grouplens.org/datasets/movielens/ml-100k.zip",
@@ -255,13 +258,82 @@ def parse_onion(raw_dir: str, out_dir: str,
     return out_dir
 
 
+def parse_amazon_meta_jsonl(meta_path: str, out_dir: str | None = None,
+                            crawl_images: bool = False,
+                            image_dir: str | None = None) -> dict:
+    """Amazon-2024 item-metadata JSONL → kept-item feature map (reference
+    `filter_on_meta`, /root/reference/data/amazon2024/filter_on_meta.py:39-79):
+    keep items whose record has a large image URL, a title AND a description;
+    returns ``{parent_asin: {image_url, title, description}}`` and writes it
+    to ``ids_all_features.json`` when ``out_dir`` is given. The optional image
+    crawl is network-gated (zero-egress environments skip it)."""
+    import json
+
+    kept: dict[str, dict] = {}
+    with open(meta_path) as fp:
+        for line in fp:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            images = rec.get("images") or []
+            large = images[0].get("large") if images else None
+            desc = rec.get("description")
+            if isinstance(desc, list):
+                desc = " ".join(str(d) for d in desc)
+            if large and rec.get("title") and desc:
+                kept[rec["parent_asin"]] = {
+                    "image_url": large,
+                    "title": rec["title"],
+                    "description": desc,
+                }
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "ids_all_features.json"), "w") as fp:
+            json.dump(kept, fp)
+    if crawl_images:
+        _crawl_amazon_images(kept, image_dir or os.path.join(
+            out_dir or ".", "images"))
+    return kept
+
+
+def _crawl_amazon_images(kept: dict, image_dir: str) -> list[str]:
+    """Network-gated image fetch (reference filter_on_meta.py:55-67)."""
+    os.makedirs(image_dir, exist_ok=True)
+    missing = []
+    try:
+        import requests
+    except ImportError:
+        log.warning("requests unavailable; skipping image crawl")
+        return list(kept)
+    have = {f.split(".")[0] for f in os.listdir(image_dir)}
+    for item_id, feats in kept.items():
+        if item_id in have:
+            continue
+        try:
+            data = requests.get(feats["image_url"], timeout=30).content
+            with open(os.path.join(image_dir, f"{item_id}.jpg"), "wb") as fh:
+                fh.write(data)
+        except Exception:
+            missing.append(item_id)
+    return missing
+
+
 def parse_amazon_csv(csv_path: str, out_dir: str, min_rating: float = 3.0,
                      year_min: int | None = None,
-                     verified_only: bool = False) -> str:
+                     verified_only: bool = False,
+                     meta_jsonl: str | None = None) -> str:
     """Amazon ratings CSV (item,user,rating,timestamp[,verified]) → raw layout
     (reference amazonvid2018_processor.py / amazon2024_processor.py +
     amazon2024_processor_verified.py filters: rating threshold, optional year
-    window, optional verified-purchase-only)."""
+    window, optional verified-purchase-only).
+
+    With ``meta_jsonl`` the Amazon-2024 meta join runs too (reference
+    amazon2024_processor.py:108-115): ratings are filtered to items that pass
+    `filter_on_meta` (large image + title + description), duplicates keep the
+    first interaction, and ``item_features.csv`` gains the items'
+    title/description text columns for downstream feature extraction
+    (`amazon_meta_text_features`)."""
     os.makedirs(out_dir, exist_ok=True)
     head = pd.read_csv(csv_path, nrows=1, header=None)
     names = ["item", "user", "rating", "timestamp"]
@@ -275,9 +347,41 @@ def parse_amazon_csv(csv_path: str, out_dir: str, min_rating: float = 3.0,
         df = df[df.verified.astype(str).str.lower().isin(("true", "1"))]
     if year_min is not None:
         df = df[pd.to_datetime(df.timestamp, unit="s").dt.year >= year_min]
+    if meta_jsonl is not None:
+        kept = parse_amazon_meta_jsonl(meta_jsonl, out_dir)
+        df = df[df.item.isin(kept)]
+        # first interaction only (reference amazon2024_processor.py:112-115)
+        df = df.sort_values("timestamp").drop_duplicates(
+            subset=["item", "user"])
+        items = sorted(df.item.unique())
+        pd.DataFrame({
+            "item": items,
+            "title": [kept[i]["title"] for i in items],
+            "description": [kept[i]["description"] for i in items],
+        }).to_csv(os.path.join(out_dir, "item_features.csv"), index=False)
     df[["user", "item", "timestamp"]].to_csv(
         os.path.join(out_dir, "listening_history.csv"), index=False)
     return out_dir
+
+
+def amazon_meta_text_features(raw_dir: str, feature_name: str = "text_mpnet",
+                              text_columns: tuple[str, ...] = ("title",
+                                                               "description"),
+                              embed_fn=None) -> str:
+    """Item text → VECTOR feature npz in the pipeline raw layout
+    (``item_{feature_name}.npz``), mirroring the reference's MPNet embedding
+    of Amazon item texts. ``embed_fn(texts) -> [n, d]`` overrides the SBERT
+    model for offline/test environments (zero egress: no HF downloads)."""
+    from sibrar_tpu.preprocessing.text_features import embed_texts
+
+    feats = pd.read_csv(os.path.join(raw_dir, "item_features.csv"))
+    texts = feats[list(text_columns)].astype(str).agg(". ".join, axis=1)
+    emb = (embed_fn(texts.tolist()) if embed_fn is not None
+           else embed_texts(texts.tolist()))
+    out = os.path.join(raw_dir, f"item_{feature_name}.npz")
+    np.savez(out, indices=feats["item"].to_numpy(),
+             values=np.asarray(emb, dtype=np.float32))
+    return out
 
 
 def export_ecf_tag_files(tag_feature, n_items: int, out_dir: str) -> str:

@@ -128,6 +128,74 @@ def run_sweep(sweep: SweepConfig, results_base: str,
     return records
 
 
+def wandb_train_val_agent(keep_top_runs: int = 10):
+    """Server-driven W&B sweep worker (reference sweep_agent.py:12-80): runs
+    under `wandb agent`, pops the trial's hyperparameters from
+    ``wandb.config`` (dotted keys expand into the nested config), merges base
+    configs, runs train+val+test, and applies the reference's top-N
+    model-file retention via the W&B API. Import- and failure-gated: without
+    wandb installed this raises with a pointer to the local sweep mode, and
+    API retention failures (e.g. offline mode) only log.
+    """
+    try:
+        import wandb
+    except ImportError as e:
+        raise RuntimeError(
+            "wandb is not installed; use the local sweep mode "
+            "(sweep_agent.py -c <sweep.yml> -o <results>)") from e
+
+    run = wandb.init(job_type="train/val/test", allow_val_change=True)
+    flat = {k: v for k, v in dict(wandb.config).items()
+            if not k.startswith("_")}
+    # special keys the reference pops before config assembly
+    # (sweep_agent.py:31-35)
+    algorithm = flat.pop("algorithm_type", None) or flat.pop("algorithm", None)
+    dataset_path = flat.pop("dataset_path", None)
+    split_type = flat.pop("split_type", None)
+    conf_dict: dict[str, Any] = {}
+    for k, v in flat.items():  # dotted sweep keys → nested dict
+        update_nested_dict(conf_dict, k, v)
+    conf_dict = extend_by_base_configs(conf_dict)
+    if algorithm:
+        conf_dict["algorithm"] = algorithm
+    if split_type:
+        conf_dict["split_type"] = split_type
+    if dataset_path:
+        update_nested_dict(conf_dict, "dataset.dataset_path", dataset_path)
+    update_nested_dict(conf_dict, "wandb.sweep_id",
+                       getattr(run, "sweep_id", None))
+    update_nested_dict(conf_dict, "wandb.use_wandb", True)
+    conf_dict.setdefault("run_id", getattr(run, "id", None) or generate_id())
+    from sibrar_tpu.config.schema import as_dict
+
+    conf = from_dict(ExperimentConfig, conf_dict)
+    try:  # make the server aware of the fully-resolved config
+        wandb.config.update(as_dict(conf), allow_val_change=True)
+    except Exception:
+        pass
+
+    from sibrar_tpu.experiment import run_train_val_test
+
+    val_metrics, test_metrics = run_train_val_test(conf)
+
+    try:  # top-N retention (reference sweep_agent.py:61-78)
+        api = wandb.Api()
+        sweep = api.sweep(f"{run.entity}/{run.project}/{run.sweep_id}")
+        top = api.runs(path=f"{run.entity}/{run.project}",
+                       per_page=keep_top_runs, order=sweep.order,
+                       filters={"$and": [{"sweep": f"{run.sweep_id}"}]}
+                       )[:keep_top_runs]
+        if run.id not in {r.id for r in top}:
+            for f in glob.glob(os.path.join(conf.results_path, "model.*")):
+                os.remove(f)
+    except Exception as e:
+        import logging
+
+        logging.getLogger(__name__).info("W&B top-N retention skipped: %s", e)
+    wandb.finish()
+    return val_metrics, test_metrics
+
+
 def load_sweep_config(path: str) -> SweepConfig:
     raw = load_config_dict(path)
     # resolve the base_config's own `base_configs` chain against the sweep
@@ -138,4 +206,4 @@ def load_sweep_config(path: str) -> SweepConfig:
 
 
 __all__ = ["SweepConfig", "sample_trials", "run_sweep", "load_sweep_config",
-           "nested_dict_get"]
+           "wandb_train_val_agent", "nested_dict_get"]

@@ -18,15 +18,28 @@ from sibrar_tpu.sweep import load_sweep_config, run_sweep
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="sibrar_tpu sweep agent")
-    parser.add_argument("--sweep_conf", "-c", required=True)
-    parser.add_argument("--results_base", "-o", required=True)
+    parser.add_argument("--sweep_conf", "-c", default=None)
+    parser.add_argument("--results_base", "-o", default=None)
     parser.add_argument("--trial-offset", type=int, default=0)
     parser.add_argument("--max-trials", type=int, default=None)
+    parser.add_argument("--wandb-agent", action="store_true",
+                        help="server-driven mode: run as a `wandb agent` "
+                             "worker pulling hyperparameters from "
+                             "wandb.config (reference sweep_agent.py)")
+    parser.add_argument("--keep-top-runs", type=int, default=10)
     args = parser.parse_args(argv)
 
     from sibrar_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.wandb_agent:
+        from sibrar_tpu.sweep import wandb_train_val_agent
+
+        wandb_train_val_agent(keep_top_runs=args.keep_top_runs)
+        return
+    if not (args.sweep_conf and args.results_base):
+        parser.error("--sweep_conf/-c and --results_base/-o are required "
+                     "in local sweep mode")
     sweep = load_sweep_config(args.sweep_conf)
     records = run_sweep(sweep, args.results_base,
                         trial_offset=args.trial_offset,
