@@ -82,11 +82,11 @@ class FullEvaluator:
         # only the peel top-k can report not-ok rows; when it cannot be
         # chosen, skip the per-batch ok sync on the eager driver entirely
         # (each host round trip costs ~25 ms through remote tunnels and
-        # would break the accumulate-on-device invariant for nothing)
+        # would break the accumulate-on-device invariant for nothing).
+        # Item-sharded meshes peel per shard, so they count too.
         self._peel_possible = (
             jax.default_backend() == "tpu"
-            and getattr(config, "topk_method", "auto") in ("auto", "peel")
-            and (mesh is None or mesh.shape.get("item", 1) <= 1))
+            and getattr(config, "topk_method", "auto") in ("auto", "peel"))
         self.reset()
 
     def reset(self):
@@ -117,20 +117,24 @@ class FullEvaluator:
             # exclusion + exact top-k in one fused fast path
             # (reference eval/eval.py:219-222 semantics; see ops/topk.py)
             if mesh is not None and mesh.shape.get("item", 1) > 1:
-                # multi-chip: exclusion scatter on the item-sharded scores,
-                # per-shard top-k + tiny candidate merge over ICI
-                from sibrar_tpu.ops.sparse import csr_row_gather, scatter_fill_rows
-                from sibrar_tpu.parallel.mesh import sharded_topk
+                # multi-chip: per-shard exclusion (only the user's columns
+                # that land in each shard's slice — no full [B, C] scatter)
+                # + per-shard selection (peel on TPU when viable) + tiny
+                # candidate merge over ICI. method='scatter' (the redo
+                # variant) forces the fallback-free per-shard path.
+                from sibrar_tpu.ops.sparse import csr_row_gather
+                from sibrar_tpu.parallel.mesh import sharded_masked_topk
 
                 cols, mask = csr_row_gather(data.exclude_csr, u_idxs)
-                s = scatter_fill_rows(scores, cols, mask, n_cols=n_catalog,
-                                      fill=float(-1e30))
                 n_shards = mesh.shape["item"]
                 pad = (-n_catalog) % n_shards
+                s = scores
                 if pad:
                     s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-1e30)
-                _, topk_idx = sharded_topk(s, k_max, mesh)
-                ok = jnp.ones(scores.shape[0], bool)
+                _, topk_idx, ok = sharded_masked_topk(
+                    s, cols, mask, k_max, mesh,
+                    use_peel=(False if method == "scatter" else None),
+                    return_ok=True)
             else:
                 _, topk_idx, ok = masked_topk(
                     scores, data.exclude_csr, u_idxs, k_max, method=method,

@@ -119,3 +119,49 @@ def test_mesh_evaluator_matches_single_device():
     assert plain.keys() == sharded.keys()
     for k in plain:
         assert abs(plain[k] - sharded[k]) < 1e-5, (k, plain[k], sharded[k])
+
+
+def test_sharded_masked_topk_matches_dense_oracle():
+    """Per-shard exclusion (no full [B, C] scatter) + per-shard selection +
+    candidate merge == dense scatter + top-k (VERDICT r2 #4)."""
+    from sibrar_tpu.parallel.mesh import sharded_masked_topk
+
+    mesh = make_mesh(8)  # item axis = 2
+    rng = np.random.default_rng(7)
+    b, c, k, e = 6, 512, 10, 9
+    scores = rng.normal(size=(b, c)).astype(np.float32)
+    cols = np.stack([rng.choice(c, size=e, replace=False)
+                     for _ in range(b)]).astype(np.int32)
+    mask = rng.random((b, e)) < 0.8
+
+    dense = scores.copy()
+    for i in range(b):
+        dense[i, cols[i][mask[i]]] = -1e30
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(dense), k)
+
+    for kwargs in ({"use_peel": False},
+                   {"use_peel": True, "interpret": True}):
+        v, i, ok = sharded_masked_topk(
+            jnp.asarray(scores), jnp.asarray(cols), jnp.asarray(mask), k,
+            mesh, return_ok=True, **kwargs)
+        assert np.asarray(ok).all(), kwargs
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                                   rtol=1e-6, err_msg=str(kwargs))
+        # indices may differ from the oracle only on exact ties
+        np.testing.assert_allclose(
+            np.take_along_axis(dense, np.asarray(i), 1), np.asarray(ref_v),
+            rtol=1e-6, err_msg=str(kwargs))
+
+
+def test_sharded_masked_topk_k_larger_than_shard():
+    from sibrar_tpu.parallel.mesh import sharded_masked_topk
+
+    mesh = make_mesh(8, item_parallelism=8)  # local_c = 16 < k = 20
+    rng = np.random.default_rng(8)
+    scores = rng.normal(size=(4, 128)).astype(np.float32)
+    cols = np.zeros((4, 0), np.int32)
+    mask = np.zeros((4, 0), bool)
+    v, i = sharded_masked_topk(jnp.asarray(scores), jnp.asarray(cols),
+                               jnp.asarray(mask), 20, mesh)
+    ref_v, _ = jax.lax.top_k(jnp.asarray(scores), 20)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v), rtol=1e-6)
