@@ -36,10 +36,12 @@ QUICK = bool(os.environ.get("SIBRAR_BENCH_QUICK"))  # tiny shapes for CI checks
 
 B = 1024         # user batch (measured optimum on v5e vs 512)
 C = 100_352      # catalog size (Onion-scale), multiple of 128 lanes
+C_LARGE = 501_760  # ~500k catalog scaling point (VERDICT r2 #7), C%128==0
 D = 256          # representation dim
 K = 100          # max metric cutoff
 EXCL = 64        # excluded (train) items per user
 ITERS = 30
+ITERS_LARGE = 8
 
 # train-step bench scale (SBNet flagship, Onion18-like shapes)
 TR_USERS = 12_000
@@ -54,6 +56,7 @@ SB_COMMON = 512
 
 if QUICK:
     B, C, D, K, EXCL, ITERS = 64, 2048, 32, 10, 8, 3
+    C_LARGE, ITERS_LARGE = 8192, 2
     TR_USERS, TR_ITEMS, TR_INTER, TR_BATCH, TR_NEG, TR_STEPS = (
         400, 500, 8000, 64, 4, 5)
     AUDIO_D, TEXT_D, SB_HIDDEN, SB_COMMON = 16, 24, [32, 32], 32
@@ -120,6 +123,52 @@ def bench_jax_fused() -> float:
     v.block_until_ready()
     dt = time.perf_counter() - t0
     return B * C * ITERS / dt
+
+
+def bench_jax_large() -> dict:
+    """The same whole-eval chain at an Onion-scale C≈500k catalog: proves the
+    selection pipeline (window count, VMEM margins, `peel_viable` dispatch)
+    holds well past the headline C=100k point (VERDICT r2 #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sibrar_tpu.ops.pallas_peel import peel_viable
+    from sibrar_tpu.ops.sparse import DeviceCSR
+    from sibrar_tpu.ops.topk import masked_topk
+
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    it = jnp.asarray(rng.normal(size=(C_LARGE, D)).astype(np.float32))
+    cols = np.sort(rng.integers(0, C_LARGE, size=(B, EXCL)),
+                   axis=1).astype(np.int32)
+    indptr = np.arange(B + 1, dtype=np.int32) * EXCL
+    csr = DeviceCSR(indptr=jnp.asarray(indptr),
+                    indices=jnp.asarray(cols.ravel()),
+                    n_rows=B, n_cols=C_LARGE, max_row_len=EXCL)
+    rows = jnp.arange(B, dtype=jnp.int32)
+
+    @jax.jit
+    def step(u):
+        scores = u @ it.T
+        return masked_topk(scores, csr, rows, K, method="auto")
+
+    v, i = step(u)
+    v.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(ITERS_LARGE):
+        v, i = step(u)
+    v.block_until_ready()
+    dt = time.perf_counter() - t0
+    import jax as _jax
+
+    return {
+        "eval_large_catalog": C_LARGE,
+        "eval_large_items_per_sec": round(B * C_LARGE * ITERS_LARGE / dt),
+        "eval_large_ms_per_step": round(dt / ITERS_LARGE * 1e3, 3),
+        "eval_large_method": (
+            "peel" if (_jax.default_backend() == "tpu"
+                       and peel_viable(C_LARGE, K, EXCL)) else "scatter"),
+    }
 
 
 def bench_torch() -> float:
@@ -387,12 +436,14 @@ def main():
     parity = bench_parity_subprocess()
     ours, eval_ms = bench_jax()
     fused = bench_jax_fused()
+    large = bench_jax_large()
     train_sps, train_ms = bench_train_jax()
     base = bench_torch()
     base_train = bench_train_torch()
     extras = {
         "eval_ms_per_step": round(eval_ms, 3),
         "fused_items_per_sec": round(fused),
+        **large,
         "train_steps_per_sec": round(train_sps, 2),
         "train_ms_per_step": round(train_ms, 3),
         "train_vs_torch_cpu": (round(train_sps / base_train, 2)

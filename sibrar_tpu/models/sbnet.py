@@ -239,6 +239,14 @@ class SingleBranchNet(RecModel):
                     module = feature_module_from(
                         _IdFeature(n_entities), f"{entity}__{fc.feature_name}",
                         embedding_dim=emb_dim)
+                elif fc.feature_name == "interactions":
+                    # reference no-user/no-item family (e.g.
+                    # sbnet_ml1m_huge_no-item_conf.yml): the plain tower
+                    # embeds the entity's interaction row
+                    module = interaction_tower_from(
+                        device_data, entity,
+                        [*(fc.pre_embedding_layers or []), emb_dim],
+                        activation_fn=fc.activation_fn, output_fn=None)
                 else:
                     module = feature_module_from(
                         feats[fc.feature_name], f"{entity}__{fc.feature_name}",

@@ -69,3 +69,82 @@ def test_preprocessing_conf_loads():
     assert cfg.interactions.k_core == 5
     assert cfg.split.ratios == [0.8, 0.1, 0.1]
     assert any(f.normalization for f in cfg.item_features)
+
+
+def _dataset_from_definitions(conf, n_users=40, n_items=50, seed=0):
+    """Synthetic RecDataset carrying exactly the features a conf declares."""
+    import numpy as np
+
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.data.feature import Feature
+
+    rng = np.random.default_rng(seed)
+
+    def build_feats(defs, n):
+        feats = {}
+        for fd in defs:
+            t = fd.type.value
+            if t == "categorical":
+                vals = [f"{fd.name}_{v}" for v in rng.integers(0, 4, n)]
+            elif t == "tag":
+                labels = [f"t{j}" for j in range(8)]
+                vals = ["|".join(rng.choice(labels, size=2, replace=False))
+                        for _ in range(n)]
+            elif t in ("discrete", "continuous"):
+                vals = rng.integers(1, 50, n).astype(
+                    np.int64 if t == "discrete" else np.float32)
+            else:  # vector / matrix
+                vals = rng.normal(size=(n, 16)).astype(np.float32)
+            feats[fd.name] = Feature.build(fd, vals, n)
+        return feats
+
+    pairs = np.unique(np.stack([rng.integers(0, n_users, 900),
+                                rng.integers(0, n_items, 900)], axis=1), axis=0)
+    return RecDataset(
+        split_set="train", n_users=n_users, n_items=n_items,
+        interactions=pairs.astype(np.int64),
+        train_interactions=pairs.astype(np.int64),
+        user_features=build_feats(conf.dataset.user_features, n_users),
+        item_features=build_feats(conf.dataset.item_features, n_items))
+
+
+_ALG_BY_PREFIX = [
+    ("ifeatmf", "ifeatmf"), ("ufeatmf", "ufeatmf"), ("dropoutnet", "dropoutnet"),
+    ("sbnet", "sbnet"), ("dmf", "dmf"), ("mf", "mf"), ("knn", "iknn"),
+    ("pop", "pop"), ("rand", "rand"),
+]
+
+
+@pytest.mark.parametrize("path", sorted(
+    glob.glob(os.path.join(CONF_DIR, "single", "*.yml"))))
+def test_paper_grid_single_confs_build(path):
+    """Every conf/single/*.yml (the reference conf/single/algorithms grid,
+    VERDICT r2 #10) parses into ExperimentConfig AND builds its model against
+    a dataset synthesized from its own feature definitions."""
+    name = os.path.basename(path)
+    alg = next(a for p, a in _ALG_BY_PREFIX if name.startswith(p))
+    conf = get_config(path, algorithm=alg, dataset_name="x")
+    ds = _dataset_from_definitions(conf)
+    spec = get_algorithm(alg)
+    if spec.kind == "sgd":
+        model = spec.build(conf.model, ds, ds.to_device())
+    else:
+        model = spec.build({"alg": alg, **conf.model}, ds)
+    assert model is not None, name
+
+
+def test_paper_grid_sweep_confs_load():
+    """Every conf/sweeps/**/ *.yml loads, resolves its base chain, and
+    samples trials (the reference conf/sweeps families)."""
+    from sibrar_tpu.sweep import load_sweep_config, sample_trials
+
+    paths = sorted(glob.glob(os.path.join(CONF_DIR, "sweeps", "**", "*.yml"),
+                             recursive=True))
+    assert len(paths) >= 7
+    for p in paths:
+        sweep = load_sweep_config(p)
+        trials = sample_trials(sweep)
+        assert trials, p
+        assert sweep.base_config.get("algorithm"), p
+        # the resolved chain reaches base.yml
+        assert sweep.base_config["learn"]["optimizing_metric"] == "ndcg@10", p
