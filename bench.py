@@ -147,16 +147,19 @@ def bench_jax_large() -> dict:
                     n_rows=B, n_cols=C_LARGE, max_row_len=EXCL)
     rows = jnp.arange(B, dtype=jnp.int32)
 
+    # the item table rides as an ARGUMENT: closed-over arrays bake into the
+    # HLO as literal constants, and a 514 MB constant blows the remote-compile
+    # tunnel's request-size limit (HTTP 413)
     @jax.jit
-    def step(u):
+    def step(u, it):
         scores = u @ it.T
         return masked_topk(scores, csr, rows, K, method="auto")
 
-    v, i = step(u)
+    v, i = step(u, it)
     v.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(ITERS_LARGE):
-        v, i = step(u)
+        v, i = step(u, it)
     v.block_until_ready()
     dt = time.perf_counter() - t0
     import jax as _jax

@@ -109,6 +109,7 @@ class FullEvaluator:
         ks = self.ks
         k_max = self.k_max
         n_catalog = self.dataset.n_items_in_split
+        wanted = tuple(self._user_metrics)  # only requested metric chains
 
         method = method or getattr(self.config, "topk_method", "auto")
         mesh = self.mesh
@@ -142,7 +143,8 @@ class FullEvaluator:
             hits = csr_contains_rows(data.pos_csr, u_idxs, topk_idx)
             hits = hits.astype(jnp.float32)
             n_pos = (data.pos_csr.indptr[u_idxs + 1] - data.pos_csr.indptr[u_idxs])
-            metrics = user_metrics_from_hits(hits, n_pos, ks)
+            metrics = user_metrics_from_hits(hits, n_pos, ks,
+                                             metrics=wanted)
             cov = coverage_flags(topk_idx, ks, n_catalog)
             return metrics, cov, ok
 
@@ -192,7 +194,8 @@ class FullEvaluator:
                                      topk_idx).astype(jnp.float32)
             n_pos = (data.pos_csr.indptr[u_idxs + 1]
                      - data.pos_csr.indptr[u_idxs])
-            return (user_metrics_from_hits(hits, n_pos, ks),
+            return (user_metrics_from_hits(hits, n_pos, ks,
+                                           metrics=tuple(self._user_metrics)),
                     coverage_flags(topk_idx, ks, n_catalog), ok)
 
         return eval_batch

@@ -23,15 +23,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("ks",))
+@partial(jax.jit, static_argnames=("ks", "metrics"))
 def user_metrics_from_hits(
     hits: jax.Array,  # [B, k_max] float 0/1 — hit indicator at each rank
     n_pos: jax.Array,  # [B] int — number of relevant items per user
     ks: tuple[int, ...],
+    metrics: tuple[str, ...] | None = None,
 ) -> dict[str, jax.Array]:
     """Per-user ndcg/recall/precision/f_score/hitrate/ap at every cutoff in `ks`.
 
-    Returns a dict ``{f"{metric}@{k}": [B] float32}``.
+    Returns a dict ``{f"{metric}@{k}": [B] float32}``. ``metrics`` restricts
+    the emitted keys (XLA then dead-code-eliminates the unrequested chains;
+    without it everything, incl. wndcg, is computed and accumulated).
     """
     k_max = hits.shape[1]
     ranks = jnp.arange(k_max)
@@ -67,13 +70,12 @@ def user_metrics_from_hits(
         # relevance this is NDCG without the precision clamp. Wired as its own
         # key for parity with the reference metric surface.
         wndcg = jnp.where(idcg > 0, dcg / idcg, 0.0)
-        out[f"wndcg@{k}"] = wndcg
-        out[f"ndcg@{k}"] = ndcg
-        out[f"recall@{k}"] = recall
-        out[f"precision@{k}"] = precision
-        out[f"f_score@{k}"] = f_score
-        out[f"hitrate@{k}"] = hitrate
-        out[f"ap@{k}"] = ap
+        for name, val in (("wndcg", wndcg), ("ndcg", ndcg),
+                          ("recall", recall), ("precision", precision),
+                          ("f_score", f_score), ("hitrate", hitrate),
+                          ("ap", ap)):
+            if metrics is None or name in metrics:
+                out[f"{name}@{k}"] = val
     return out
 
 

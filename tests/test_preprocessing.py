@@ -407,12 +407,12 @@ def test_amazon2024_meta_pipeline_roundtrip(tmp_path):
     feats_csv = pd.read_csv(raw / "item_features.csv")
     assert {"item", "title", "description"} <= set(feats_csv.columns)
 
-    # offline text embedding (stub embedder: deterministic hash features)
+    # offline text embedding (stub embedder: deterministic arithmetic
+    # features — NOT byte reinterpretation, which can land in the NaN range)
     def embed_stub(texts):
         return np.stack([
-            np.frombuffer(
-                np.int64(abs(hash(t)) % (2**31)).tobytes() * 2,
-                dtype=np.float32)[:4]
+            np.asarray([len(t), t.count(" "), (abs(hash(t)) % 997) / 997.0,
+                        1.0], dtype=np.float32)
             for t in texts])
 
     npz_path = amazon_meta_text_features(str(raw), embed_fn=embed_stub)
