@@ -177,7 +177,7 @@ class FullEvaluator:
         if items.shape[0] != n_catalog:
             return None
         if not peel_viable(n_catalog, self.k_max,
-                           data.exclude_csr.max_row_len):
+                           data.exclude_csr.max_row_len, fused=True):
             return None
         ks, k_max = self.ks, self.k_max
 

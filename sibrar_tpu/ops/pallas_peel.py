@@ -81,6 +81,30 @@ _PEELED = float("-inf")  # strictly below any live score incl. the -1e30 mask
 # reductions get expensive; fall back to the +E window margin there.
 _CORR_MAX_E = 512
 
+# The corrected-wmax pass costs one extra full [B, C] read (its gather loads
+# every chunk). At large catalogs that read dominates the +E-margin
+# alternative (bigger peel + merged top-k over (k+E)·t instead of (k+1)·t —
+# all tiny), so beyond this per-row byte size the margin path wins whenever
+# E is moderate (v5e, C=501760/E=64: corrected path 30.3 ms/step — one of
+# its ~four full-matrix HBM passes is the correction gather).
+_CORR_MAX_ROW_BYTES = 1 << 20
+
+
+def _use_corrected_wmax(c_real: int, e: int) -> bool:
+    return 0 < e <= _CORR_MAX_E and c_real * 4 <= _CORR_MAX_ROW_BYTES
+
+# Per-block VMEM ceiling for the user-group gathers. Mosaic's scoped-vmem
+# window is 16 MB, the pipelined [gb, C] (or [NW, gb, W]) input block is
+# double-buffered, AND the block's second-to-last dim must be a multiple of
+# 8 (so gb cannot drop below 8). 8·C·4·2 ≤ ~12 MB ⇒ the peel gathers only
+# work up to C ≈ 192k; `peel_viable` dispatches larger catalogs to the
+# scatter path (measured: gb=8 at C=501760 is a hard compile error,
+# "scoped allocation 30.62M exceeds 16.00M"; gb=2 violates the sublane
+# rule). A catalog-chunked gather (grid over C with conditional copies)
+# would lift this.
+_GATHER_VMEM_BYTES = 12 << 20
+_PEEL_MAX_ROW_BYTES = _GATHER_VMEM_BYTES // (8 * 2)  # per-row bytes at gb=8
+
 
 # ---------------------------------------------------------- value-peel kernel
 def _peel_values_kernel(x_ref, vals_ref, *, t: int):
@@ -185,6 +209,42 @@ def _gather_cols_kernel(widx_ref, s_ref, out_ref, *, m: int, gb: int,
     lax.fori_loop(0, m, body, 0)
 
 
+def _gather_cols_chunked_kernel(widx_ref, s_ref, out_ref, *, m: int, gb: int,
+                                w: int, cb: int):
+    """Catalog-chunked variant: the [gb, C] row block would blow Mosaic's
+    scoped-VMEM window for C ≳ 192k, so the grid adds a C axis and each step
+    sees only a [gb, cb] chunk; every (row, window) pair copies from exactly
+    the one chunk containing it (predicated store; the out block is revisited
+    across the inner C axis and written back once at the end)."""
+    from jax.experimental import pallas as pl
+
+    base = pl.program_id(1) * cb
+
+    def body(j, carry):
+        for bb in range(gb):  # static unroll over the user group
+            off = widx_ref[bb, j] * w - base
+
+            @pl.when((off >= 0) & (off < cb))
+            def _copy(off=off, bb=bb, j=j):
+                out_ref[bb, j, :] = s_ref[bb, pl.ds(pl.multiple_of(off, w), w)]
+        return carry
+
+    lax.fori_loop(0, m, body, 0)
+
+
+def _pick_chunk(c: int, gb: int, w: int) -> int:
+    """Largest divisor of C that is a multiple of W and keeps the
+    double-buffered [gb, cb] block inside the scoped-VMEM budget."""
+    budget_cols = _GATHER_VMEM_BYTES // (gb * 4 * 2)
+    n_chunks = 1
+    while (c // n_chunks > budget_cols or c % n_chunks
+           or (c // n_chunks) % w):
+        n_chunks += 1
+        if n_chunks > c // w:
+            return w  # degenerate; every chunk is one window
+    return c // n_chunks
+
+
 @functools.partial(jax.jit, static_argnames=("w", "gb", "interpret"))
 def gather_score_windows(scores: jax.Array, widx: jax.Array, *, w: int = 128,
                          gb: int = 8, interpret: bool = False) -> jax.Array:
@@ -192,7 +252,8 @@ def gather_score_windows(scores: jax.Array, widx: jax.Array, *, w: int = 128,
     off the [B, C] score matrix: the lane offsets are dynamic but provably
     128-aligned (`pl.multiple_of`), which Mosaic accepts — so the windowed
     [NW, B, W] retile pass (an extra 2×[B,C] HBM round trip) is not needed
-    at all on this path."""
+    at all on this path. Catalogs too wide for a resident [gb, C] block
+    (C ≳ 192k) switch to the chunked kernel automatically."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -202,6 +263,24 @@ def gather_score_windows(scores: jax.Array, widx: jax.Array, *, w: int = 128,
         gb = b
     if c % w or w % 128:
         raise ValueError(f"shape misalignment: C={c}%{w}, W={w}%128")
+    if gb * c * 4 * 2 > _GATHER_VMEM_BYTES:
+        cb = _pick_chunk(c, gb, w)
+        kernel = functools.partial(_gather_cols_chunked_kernel, m=m, gb=gb,
+                                   w=w, cb=cb)
+        return pl.pallas_call(
+            kernel,
+            grid=(b // gb, c // cb),
+            in_specs=[
+                pl.BlockSpec((gb, m), lambda i, j: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((gb, cb), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((gb, m, w), lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, m, w), jnp.float32),
+            interpret=interpret,
+        )(widx, scores)
     kernel = functools.partial(_gather_cols_kernel, m=m, gb=gb, w=w)
     return pl.pallas_call(
         kernel,
@@ -285,7 +364,7 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
         win_ok = (jnp.arange(nw, dtype=jnp.int32) * w) < c_real
         wmax = jnp.where(win_ok[None, :], wmax, _NEG)
 
-    correct_wmax = 0 < e <= _CORR_MAX_E
+    correct_wmax = _use_corrected_wmax(c_real, e)
     if correct_wmax:
         # exact post-exclusion maxima for the ≤E affected windows: gather
         # them, mask the user's excluded lanes, re-max, and splice back.
@@ -507,12 +586,20 @@ def peel_masked_topk(u: jax.Array, items: jax.Array,
 
 
 def peel_viable(c: int, k: int, e: int, *, window: int = 128,
-                t: int = 12) -> bool:
+                t: int = 12, fused: bool = False) -> bool:
     """Static dispatch predicate: peeling wins when the selected window set
     is a small fraction of the catalog. With the corrected-wmax pass the
     margin no longer depends on E (m = k+1) up to ``_CORR_MAX_E``; beyond
-    that the +E margin applies and the scatter path wins for wide margins."""
+    that the +E margin applies and the scatter path wins for wide margins.
+
+    ``fused=True`` asks about the fused matmul→top-k path
+    (`peel_masked_topk`): its [NW, gb, W] windowed-layout gather holds the
+    whole row set in VMEM, so catalogs beyond ``_PEEL_MAX_ROW_BYTES``
+    (C ≳ 192k) are not viable there. The scores path has a catalog-chunked
+    gather and carries no C limit."""
     nw = -(-c // window)
-    margin = 1 if 0 <= e <= _CORR_MAX_E else e + 1
+    if fused and nw * window * 4 > _PEEL_MAX_ROW_BYTES:
+        return False
+    margin = 1 if (e == 0 or _use_corrected_wmax(c, e)) else e + 1
     m = min(k + margin, nw)
     return m * t >= k and 2 * m <= nw

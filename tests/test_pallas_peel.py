@@ -343,3 +343,52 @@ def test_explicit_peel_method_degrades_off_tpu():
         v2, _ = masked_topk(s[:, :512], csr, jnp.arange(4), 100,
                             method="peel")
         assert np.asarray(v2).shape == (4, 100)
+
+
+def test_chunked_catalog_gather_matches_oracle(monkeypatch):
+    """Catalogs too wide for a resident [gb, C] block use the chunked gather
+    (grid over C, predicated copies). Forced here by shrinking the VMEM
+    budget; results must stay exact."""
+    import sibrar_tpu.ops.pallas_peel as pp
+
+    monkeypatch.setattr(pp, "_GATHER_VMEM_BYTES", 1 << 14)  # force chunking
+    rng = np.random.default_rng(21)
+    b, c, k, e = 8, 4096, 12, 10
+    s = rng.normal(size=(b, c)).astype(np.float32)
+    cols = np.stack([np.sort(rng.choice(c, size=e, replace=False))
+                     for _ in range(b)]).astype(np.int32)
+    mask = rng.random((b, e)) < 0.8
+    ov, _ = _oracle(jnp.asarray(s), cols, mask, k)
+    v, i = peel_masked_topk_scores(jnp.asarray(s), jnp.asarray(cols),
+                                   jnp.asarray(mask), k, t=8, interpret=True)
+    _check(v, i, s, ov, cols, mask)
+
+    # direct kernel check: chunked vs plain gather bit-identical
+    widx = jnp.asarray(rng.integers(0, c // 128, size=(b, 5)), jnp.int32)
+    from sibrar_tpu.ops.pallas_peel import gather_score_windows
+
+    g_chunked = gather_score_windows(jnp.asarray(s), widx, interpret=True)
+    monkeypatch.setattr(pp, "_GATHER_VMEM_BYTES", 12 << 20)
+    g_plain = gather_score_windows(jnp.asarray(s), widx, interpret=True)
+    np.testing.assert_array_equal(np.asarray(g_chunked), np.asarray(g_plain))
+
+
+def test_margin_path_large_catalog_gate(monkeypatch):
+    """Beyond _CORR_MAX_ROW_BYTES the corrected-wmax pass (an extra full
+    [B, C] read) is skipped in favor of the +E window margin; results must
+    stay exact."""
+    import sibrar_tpu.ops.pallas_peel as pp
+
+    monkeypatch.setattr(pp, "_CORR_MAX_ROW_BYTES", 256)  # force margin path
+    rng = np.random.default_rng(23)
+    b, c, k, e = 6, 8192, 15, 12
+    s = rng.normal(size=(b, c)).astype(np.float32)
+    cols = np.stack([np.sort(rng.choice(c, size=e, replace=False))
+                     for _ in range(b)]).astype(np.int32)
+    mask = rng.random((b, e)) < 0.85
+    assert not pp._use_corrected_wmax(c, e)
+    assert pp.peel_viable(c, k, e)  # margin path still viable here
+    ov, _ = _oracle(jnp.asarray(s), cols, mask, k)
+    v, i = peel_masked_topk_scores(jnp.asarray(s), jnp.asarray(cols),
+                                   jnp.asarray(mask), k, t=8, interpret=True)
+    _check(v, i, s, ov, cols, mask)

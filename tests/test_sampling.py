@@ -22,12 +22,12 @@ def test_csr_ops_match_scipy():
     rows = jnp.asarray(np.arange(10), dtype=jnp.int32)
     dense = np.asarray(csr_rows_to_dense(csr, rows))
     np.testing.assert_array_equal(dense, mat[:10].toarray())
-    # the wide-matrix scatter path must agree with the compare path
+    # the wide-matrix MXU one-hot path must agree with the compare path
     from sibrar_tpu.ops import sparse as sp_ops
 
     orig = sp_ops._CMP_DENSIFY_MAX_COLS
     try:
-        sp_ops._CMP_DENSIFY_MAX_COLS = 0  # force the scatter branch
+        sp_ops._CMP_DENSIFY_MAX_COLS = 0  # force the MXU one-hot branch
         dense2 = np.asarray(csr_rows_to_dense(csr, rows))
     finally:
         sp_ops._CMP_DENSIFY_MAX_COLS = orig
