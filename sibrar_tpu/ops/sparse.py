@@ -148,11 +148,14 @@ def csr_row_gather(csr: DeviceCSR, rows: jax.Array,
 
 
 # XLA row scatters on TPU cost ~20 ns per scattered element; a fused
-# compare-broadcast densify streams B·L·n_cols lane-ops at ~0.8 ps each
-# (measured inside the SBNet train step on v5e: 2.9 ms faster at
-# B'=5632, L=50, n_cols=12000 — tools/probe_train.py `cmpdense`), so the
-# crossover sits at n_cols ≈ 25k. Stay below it with margin.
-_CMP_DENSIFY_MAX_COLS = 16384
+# compare-broadcast densify streams B·L·n_cols lane-ops (measured r2, 2.9 ms
+# faster than scatters at B'=5632, L=50, n_cols=12000). The window-factored
+# MXU one-hot densify (below) moves the same element count onto the matrix
+# unit: r3 probe at B'=5632, L=60, n_cols=12288, h=512 — first-layer
+# fwd+bwd chain 5.88 ms (cmp) vs 3.66 ms (MXU), tools/probe_densify.py.
+# Compare only survives for small widths where two one-hot builds plus a
+# batched matmul can't amortize.
+_CMP_DENSIFY_MAX_COLS = 2048
 
 
 def csr_rows_to_dense(
@@ -173,7 +176,8 @@ def csr_rows_to_dense(
       bf16 (0/1 values) with f32 accumulation, and CSR rows have distinct
       columns, so the sum is exactly the 0/1 row. Measured on v5e at the
       SBNet-bench item-tower shape (B'=5632, n_cols=12288, L=60, h=512
-      first-layer fwd+bwd chain): see tools/probe_densify.py.
+      first-layer fwd+bwd chain): 5.88 ms (compare) → 3.66 ms
+      (tools/probe_densify.py).
     """
     cols, mask = csr_row_gather(csr, rows)  # [..., L]
     if csr.n_cols <= _CMP_DENSIFY_MAX_COLS:
