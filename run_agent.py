@@ -26,14 +26,24 @@ from sibrar_tpu.utils.process import on_parent_exit, terminate_process_group
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="sibrar_tpu sweep worker launcher")
-    parser.add_argument("--sweep_conf", "-c", required=True)
-    parser.add_argument("--results_base", "-o", required=True)
+    parser.add_argument("--sweep_conf", "-c", default=None)
+    parser.add_argument("--results_base", "-o", default=None)
     parser.add_argument("--n_parallel", "-p", type=int, default=1)
-    parser.add_argument("--trials-per-worker", type=int, required=True)
+    parser.add_argument("--trials-per-worker", type=int, default=None)
     parser.add_argument("--devices", default=None,
                         help="comma-separated device visibility strings, one "
                              "per worker (exported as TPU_VISIBLE_DEVICES)")
+    parser.add_argument("--wandb-agent", action="store_true",
+                        help="spawn server-driven W&B sweep workers instead "
+                             "of local trial shards (the reference's "
+                             "run_agent.py mode: N `wandb agent` processes "
+                             "pinned to devices)")
     args = parser.parse_args(argv)
+
+    if not args.wandb_agent:
+        if not (args.sweep_conf and args.results_base
+                and args.trials_per_worker):
+            parser.error("local mode requires -c, -o and --trials-per-worker")
 
     devices = (args.devices.split(",") if args.devices
                else [None] * args.n_parallel)
@@ -41,10 +51,16 @@ def main(argv=None):
 
     processes = []
     for i in range(args.n_parallel):
-        cmd = [sys.executable, "sweep_agent.py",
-               "-c", args.sweep_conf, "-o", args.results_base,
-               "--trial-offset", str(i * args.trials_per_worker),
-               "--max-trials", str(args.trials_per_worker)]
+        if args.wandb_agent:
+            cmd = [sys.executable, "sweep_agent.py", "--wandb-agent"]
+            desc = "wandb-agent worker"
+        else:
+            cmd = [sys.executable, "sweep_agent.py",
+                   "-c", args.sweep_conf, "-o", args.results_base,
+                   "--trial-offset", str(i * args.trials_per_worker),
+                   "--max-trials", str(args.trials_per_worker)]
+            desc = (f"trials {i * args.trials_per_worker}..."
+                    f"{(i + 1) * args.trials_per_worker - 1}")
         env = dict(os.environ)
         if devices[i % len(devices)]:
             env["TPU_VISIBLE_DEVICES"] = devices[i % len(devices)]
@@ -52,9 +68,7 @@ def main(argv=None):
                                      "stderr": subprocess.DEVNULL}
         p = subprocess.Popen(cmd, env=env, start_new_session=True,
                              preexec_fn=on_parent_exit(), **kwargs)
-        print(f"launched worker {i} (pid {p.pid}, "
-              f"trials {i * args.trials_per_worker}..."
-              f"{(i + 1) * args.trials_per_worker - 1})")
+        print(f"launched worker {i} (pid {p.pid}, {desc})")
         processes.append((p, i))
 
     try:
