@@ -186,3 +186,59 @@ def sample_k_modalities(
     # randomize order (the reference shuffles its sampled set)
     flip = jax.random.bernoulli(k3, shape=shape)
     return jnp.where(flip[..., None], pair[..., ::-1], pair)
+
+
+def balanced_routing(
+    n_modalities: int,
+    k: int,
+    central: int | None = None,
+) -> list[list[int]]:
+    """Static residue→modality tables for balanced modality routing.
+
+    TPU-first replacement for per-example iid modality sampling
+    (`sample_k_modalities`): instead of sampling modalities then computing
+    EVERY modality's projection for the whole batch and gathering k
+    (compute-all, k/n of the FLOPs useful), assign modalities to batch rows
+    by their position modulo a period ``P`` so that each modality receives a
+    *static, identical* number of rows — every projection becomes a dense
+    [rows_per_modality, ...] block with no gather/scatter, and total
+    projection work drops from n× to k× the batch.
+
+    Returns ``slots``: ``slots[rho][j]`` is the modality id of sampling slot
+    ``j`` for rows at position ≡ rho (mod P), with P = len(slots):
+
+    - k=1: P = n, row rho trains modality rho. Each modality gets exactly
+      1/n of the rows.
+    - k=2, central=None (pairwise_single): P = n(n-1); first slot cycles
+      modalities (rho % n), second cycles the n-1 others per first-class
+      ((rho // n) % (n-1) shift). Each modality appears exactly n-1 times
+      as slot 0 and n-1 times as slot 1 → exactly 2/n of the rows, and the
+      two slots of a row are always distinct.
+    - k=2, central=c (central_modality): P = n-1; slot 0 is always c,
+      slot 1 cycles the others (reference semantics: central + one other).
+
+    Distributional contract vs the reference's iid `row_wise_sample`
+    (`/root/reference/utilities/utils.py:60-90`): combined with a uniform
+    random cyclic shift of the batch per step (see
+    `SingleBranchNetEntity._forward_train`) and the epoch-level permutation
+    of rows, each row's marginal modality distribution is uniform exactly as
+    in the reference; per-batch modality *counts* are exactly balanced
+    instead of multinomial (a variance reduction — every modality tower
+    trains on every step). This matches the reference's own execution shape:
+    its semi-batched loop also runs each modality only on the subset of rows
+    that sampled it (`sgd_alg.py:1934-1978`).
+    """
+    if k == 1:
+        return [[m] for m in range(n_modalities)]
+    if k != 2:
+        raise ValueError("only k in (1, 2) occur in SBNet configurations")
+    if central is not None:
+        others = [m for m in range(n_modalities) if m != central]
+        return [[central, m] for m in others]
+    slots = []
+    for rho in range(n_modalities * (n_modalities - 1)):
+        m1 = rho % n_modalities
+        off = (rho // n_modalities) % (n_modalities - 1)
+        m2 = (m1 + 1 + off) % n_modalities
+        slots.append([m1, m2])
+    return slots

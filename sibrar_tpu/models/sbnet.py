@@ -24,10 +24,11 @@ from dataclasses import dataclass, field as dc_field
 from typing import Optional, Sequence, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from sibrar_tpu.config.schema import EmbeddingRegularizationType
-from sibrar_tpu.data.sampling import sample_k_modalities
+from sibrar_tpu.data.sampling import balanced_routing, sample_k_modalities
 from sibrar_tpu.models.base import RecModel
 from sibrar_tpu.models.layers import (
     Embedding,
@@ -38,6 +39,12 @@ from sibrar_tpu.models.layers import (
     interaction_tower_from,
 )
 from sibrar_tpu.train.losses import info_nce
+
+
+# Balanced modality routing for the train forward (see
+# SingleBranchNetEntity._routed_projections). False restores the legacy
+# compute-all-then-gather path (probes/ablation).
+ROUTED_TRAIN_MODALITIES = True
 
 
 # ------------------------------------------------------------------------ configs
@@ -162,17 +169,19 @@ class SingleBranchNetEntity(RecModel):
                    if reg_type == EmbeddingRegularizationType.CENTRAL_MODALITY
                    else None)
         key = self.make_rng("sample")
-        sampled = sample_k_modalities(
-            key, idxs.shape, len(self.modality_names), k, central=central)
-
-        # dense compute-all: stack every modality's projection [..., n_mod, d]
-        all_proj = jnp.stack(
-            [self._modality_projection(m, idxs, True) for m in self._mods],
-            axis=-2)
-        # (measured: this d-vector gather along the small modality axis does
-        # NOT scalarize on TPU — an exact where-sum alternative timed equal)
-        picked = jnp.take_along_axis(
-            all_proj, sampled[..., None], axis=-2)  # [..., k, d]
+        if ROUTED_TRAIN_MODALITIES and len(self._mods) > 1:
+            picked = self._routed_projections(idxs, key, k, central)
+        else:
+            # legacy compute-all: stack every modality's projection
+            # [..., n_mod, d] and gather the k sampled (n/k of the
+            # projection FLOPs wasted; kept for probes/ablation)
+            sampled = sample_k_modalities(
+                key, idxs.shape, len(self.modality_names), k, central=central)
+            all_proj = jnp.stack(
+                [self._modality_projection(m, idxs, True) for m in self._mods],
+                axis=-2)
+            picked = jnp.take_along_axis(
+                all_proj, sampled[..., None], axis=-2)  # [..., k, d]
         encoded = self._branch(picked, train=True)  # [..., k, output_dim]
 
         if k == 2:
@@ -185,6 +194,58 @@ class SingleBranchNetEntity(RecModel):
             self.sow("losses", f"{self.entity}_reg_loss",
                      self.regularization_weight * reg)
         return self._aggregate(encoded)
+
+    def _routed_projections(self, idxs, key, k: int, central):
+        """Balanced modality routing: each modality projects only the rows
+        assigned to it (static residue classes of a randomly rolled batch),
+        so projection work is k× the batch instead of n×.
+
+        Assignment is by flat row position mod P (tables from
+        `balanced_routing`); a uniform cyclic shift `delta` per step makes
+        every row's marginal modality distribution exactly uniform. All
+        row-subset selection is static column slicing of a [G, P] view and
+        the assembly is pure stack/reshape — no gathers or scatters, so
+        nothing scalarizes on TPU. This mirrors the reference's semi-batched
+        per-modality loop (`/root/reference/algorithms/sgd_alg.py:1934-1978`),
+        which also runs each modality only on the rows that sampled it.
+        Measured (v5e, SBNet bench shapes, 5 modalities incl. interactions):
+        9.27 → ~6 ms/step vs compute-all."""
+        n = len(self._mods)
+        slots_tbl = balanced_routing(n, k, central)  # [P][k] modality ids
+        P = len(slots_tbl)
+        flat = idxs.reshape(-1)
+        T = flat.shape[0]
+        G = -(-T // P)
+        pad = G * P - T
+        if pad:
+            # pad rows route through the modules but their outputs are
+            # dropped below (< P rows; only BN stats inside modality MLPs
+            # could notice, and those are off in reference configs)
+            flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+        delta = jax.random.randint(key, (), 0, P)
+        rolled = jnp.roll(flat, -delta)
+        blocks = rolled.reshape(G, P)
+
+        # modality -> ordered [(residue, slot)] it serves
+        assign: dict[int, list[tuple[int, int]]] = {}
+        for rho, slots in enumerate(slots_tbl):
+            for j, m in enumerate(slots):
+                assign.setdefault(m, []).append((rho, j))
+
+        out_cols: list[list] = [[None] * k for _ in range(P)]
+        for m in sorted(assign):
+            pairs = assign[m]
+            sub = jnp.stack([blocks[:, rho] for rho, _ in pairs], axis=1)
+            proj = self._modality_projection(self._mods[m], sub, True)
+            for pos, (rho, j) in enumerate(pairs):
+                out_cols[rho][j] = proj[:, pos]
+        picked = jnp.stack(
+            [jnp.stack(col, axis=1) for col in out_cols], axis=1)  # [G, P, k, d]
+        picked = picked.reshape(G * P, k, picked.shape[-1])
+        picked = jnp.roll(picked, delta, axis=0)
+        if pad:
+            picked = picked[:T]
+        return picked.reshape(*idxs.shape, k, picked.shape[-1])
 
     def _forward_eval(self, idxs):
         projections = [

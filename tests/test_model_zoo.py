@@ -216,3 +216,86 @@ def test_sbnet_beats_mf_on_cold_start_items():
         sb_res["val/ndcg@10"], mf_res["val/ndcg@10"])
     assert sb_res["val/ndcg@10"] > rand_res["val/ndcg@10"] + 0.04, (
         sb_res["val/ndcg@10"], rand_res["val/ndcg@10"])
+
+
+def test_routed_projections_match_per_row_modality_outputs(splits):
+    """Mechanical correctness of balanced modality routing
+    (`SingleBranchNetEntity._routed_projections`): every assembled [row, slot]
+    vector must equal that SAME row's projection under exactly one modality
+    (routing may never mix rows), the two slots of a row must come from
+    distinct modalities, and per-modality row counts must be exactly
+    balanced."""
+    import jax
+    import jax.numpy as jnp
+
+    from sibrar_tpu.models.base import populate_tables
+    from sibrar_tpu.models.sbnet import SingleBranchNet
+
+    dd = splits["train"].to_device()
+    model = SingleBranchNet.build_from_conf(_sbnet_conf(), splits["train"], dd)
+    rng = np.random.default_rng(3)
+    # 7 x 5 rows: T=35 is not a multiple of the n=4,k=2 period P=12 → also
+    # exercises the pad-and-drop path
+    i_idxs = jnp.asarray(rng.integers(0, 100, size=(7, 5)).astype(np.int32))
+    variables = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        i_idxs, method=model.item_repr)
+    # init leaves the feature `tables` collection zeroed (the trainer injects
+    # the real device tables) — without this every MLP modality projects to
+    # exactly 0 and the match-exactly-one assertion below is vacuous
+    variables = populate_tables(dict(variables), dd)
+
+    def routed(mdl, idxs, key):
+        return mdl.item_module._routed_projections(idxs, key, 2, None)
+
+    def all_proj(mdl, idxs):
+        ent = mdl.item_module
+        return jnp.stack(
+            [ent._modality_projection(m, idxs, True) for m in ent._mods],
+            axis=-2)
+
+    full = np.asarray(model.apply(variables, i_idxs, method=all_proj))
+    n_mod = full.shape[-2]
+    counts = np.zeros(n_mod, int)
+    for key_i in (3, 4):
+        picked = np.asarray(model.apply(
+            variables, i_idxs, jax.random.key(key_i), method=routed))
+        assert picked.shape == (*i_idxs.shape, 2, full.shape[-1])
+        for t in np.ndindex(i_idxs.shape):
+            row_mods = []
+            for j in range(2):
+                match = [m for m in range(n_mod)
+                         if np.allclose(picked[t][j], full[t][m], atol=1e-5)]
+                assert len(match) == 1, (t, j, match)
+                row_mods.append(match[0])
+            assert row_mods[0] != row_mods[1], (t, row_mods)
+            if key_i == 3:
+                counts[row_mods[0]] += 1
+                counts[row_mods[1]] += 1
+    # exact balance up to the <P padded tail rows
+    assert counts.max() - counts.min() <= 12, counts
+
+
+def test_routed_sbnet_loss_matches_compute_all_distribution(splits):
+    """The routed path must train as well as compute-all: same model, same
+    seeds, 3 epochs each — losses finite and within a loose band (the
+    sampling distributions differ by design, trajectories must not)."""
+    import sibrar_tpu.models.sbnet as sbnet_mod
+    from sibrar_tpu.models.sbnet import SingleBranchNet
+
+    results = {}
+    for routed in (True, False):
+        # fresh device tables per run: the trainer's donated epoch fn
+        # consumes the previous DeviceData's arrays
+        dd = splits["train"].to_device()
+        old = sbnet_mod.ROUTED_TRAIN_MODALITIES
+        sbnet_mod.ROUTED_TRAIN_MODALITIES = routed
+        try:
+            model = SingleBranchNet.build_from_conf(
+                _sbnet_conf(), splits["train"], dd)
+            trainer, res = _fit(model, splits, epochs=3, device_data=dd)
+            results[routed] = trainer.train_epoch()["train/loss"]
+        finally:
+            sbnet_mod.ROUTED_TRAIN_MODALITIES = old
+    assert np.isfinite(results[True]) and np.isfinite(results[False])
+    assert abs(results[True] - results[False]) < 0.35, results
