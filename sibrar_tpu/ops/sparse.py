@@ -129,10 +129,18 @@ def csr_row_gather(csr: DeviceCSR, rows: jax.Array,
         shape = (*rows.shape, max(csr.max_row_len, 1))
         return (jnp.zeros(shape, jnp.int32), jnp.zeros(shape, bool))
     l_out = max(csr.max_row_len, 1)
-    starts = csr.indptr[rows]  # [...]
-    ends = csr.indptr[rows + 1]
+    if rows.ndim > 1:
+        # n-D row batches (e.g. the routed interaction tower's [G, n_pairs]
+        # blocks) ride the same 1-D segment-gather kernel flattened — the
+        # XLA fallback below scalarizes (~20 ns/element; profiled 0.8 ms/step
+        # of the SBNet epoch before this reshape)
+        cols, mask = csr_row_gather(csr, rows.reshape(-1), interpret)
+        return (cols.reshape(*rows.shape, l_out),
+                mask.reshape(*rows.shape, l_out))
     use_seg = (rows.ndim == 1 and csr.nnz * 4 <= _SEG_GATHER_MAX_BYTES
                and (interpret or jax.default_backend() == "tpu"))
+    starts = csr.indptr[rows]  # [...]
+    ends = csr.indptr[rows + 1]
     if use_seg:
         width = _next_pow2(l_out + 127)
         seg = _segment_gather(csr.indices, starts, l_out, width,

@@ -79,7 +79,12 @@ def build_rec_loss(name: str, *, n_items: int, n_neg: int,
 def _cross_entropy_int_labels(logits: jax.Array, labels: jax.Array,
                               aggregator: str) -> jax.Array:
     log_probs = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    # one-hot select instead of take_along_axis: the row gather scalarizes on
+    # TPU (~8 ns/row profiled); the where-sum selects the same single element
+    # bit-exactly on the VPU
+    m = log_probs.shape[-1]
+    hit = labels[..., None] == jnp.arange(m, dtype=labels.dtype)
+    nll = -jnp.where(hit, log_probs, 0.0).sum(axis=-1)
     return _aggregate(nll, aggregator)
 
 

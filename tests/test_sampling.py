@@ -139,3 +139,11 @@ def test_segment_gather_matches_element_gather():
     seg_cols, seg_mask = sp_ops.csr_row_gather(csr, rows, interpret=True)
     np.testing.assert_array_equal(np.asarray(seg_cols), np.asarray(ref_cols))
     np.testing.assert_array_equal(np.asarray(seg_mask), np.asarray(ref_mask))
+
+    # n-D row batches (routed interaction tower) flatten onto the same kernel
+    rows2 = rows.reshape(4, 6)
+    seg2_cols, seg2_mask = sp_ops.csr_row_gather(csr, rows2, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(seg2_cols), np.asarray(ref_cols).reshape(4, 6, -1))
+    np.testing.assert_array_equal(
+        np.asarray(seg2_mask), np.asarray(ref_mask).reshape(4, 6, -1))
