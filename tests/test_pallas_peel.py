@@ -392,3 +392,37 @@ def test_margin_path_large_catalog_gate(monkeypatch):
     v, i = peel_masked_topk_scores(jnp.asarray(s), jnp.asarray(cols),
                                    jnp.asarray(mask), k, t=8, interpret=True)
     _check(v, i, s, ov, cols, mask)
+
+
+def test_window_max_matches_reshape_max_including_tail():
+    """`window_max` (native-layout Pallas lane-group max) must equal the
+    XLA reshape+max spelling bit-exactly, including when NW is not a
+    multiple of the 128-window out tile (the tail path) and when B is not
+    a multiple of the 8-row group."""
+    from sibrar_tpu.ops.pallas_peel import window_max
+
+    rng = np.random.default_rng(29)
+    for b, nw in [(16, 130), (16, 128), (16, 127), (12, 256 + 17), (8, 1)]:
+        c = nw * 128
+        s = rng.normal(size=(b, c)).astype(np.float32)
+        ref = s.reshape(b, nw, 128).max(-1)
+        got = window_max(jnp.asarray(s), 128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_sorted_runs_chunked_gather_matches_plain(monkeypatch):
+    """The sorted-rows chunked gather (per-chunk contiguous runs with
+    dynamic loop bounds) must be bit-identical to the resident-block
+    gather for ascending window rows."""
+    import sibrar_tpu.ops.pallas_peel as pp
+    from sibrar_tpu.ops.pallas_peel import gather_score_windows
+
+    rng = np.random.default_rng(31)
+    b, c, m = 8, 4096, 9
+    s = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32))
+    widx = jnp.sort(jnp.asarray(
+        rng.integers(0, c // 128, size=(b, m)), jnp.int32), axis=1)
+    g_plain = gather_score_windows(s, widx, interpret=True)
+    monkeypatch.setattr(pp, "_GATHER_VMEM_BYTES", 1 << 14)  # force chunking
+    g_runs = gather_score_windows(s, widx, sorted_rows=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(g_runs), np.asarray(g_plain))
