@@ -170,14 +170,24 @@ class FullEvaluator:
             return None
         if _jax.default_backend() != "tpu" and not interpret:
             return None
-        from sibrar_tpu.ops.pallas_peel import peel_masked_topk, peel_viable
+        from sibrar_tpu.ops.pallas_peel import (
+            peel_masked_topk,
+            peel_masked_topk_scores,
+            peel_viable,
+        )
 
         data = self.data
         n_catalog = self.dataset.n_items_in_split
         if items.shape[0] != n_catalog:
             return None
-        if not peel_viable(n_catalog, self.k_max,
-                           data.exclude_csr.max_row_len, fused=True):
+        e = data.exclude_csr.max_row_len
+        fused_ok = peel_viable(n_catalog, self.k_max, e, fused=True)
+        # catalogs past the fused kernel's VMEM gate (C ≳ 192k) still ride
+        # the fast path: materialize [B, C] once and select through the
+        # scores-path peel (native-layout window maxima + chunked sorted-run
+        # gather — the same chain `masked_topk` auto would pick, minus the
+        # generic score_fn indirection)
+        if not fused_ok and not peel_viable(n_catalog, self.k_max, e):
             return None
         ks, k_max = self.ks, self.k_max
 
@@ -187,9 +197,16 @@ class FullEvaluator:
             u_repr = user_repr_fn(u_idxs)
             cols, mask = csr_row_gather(data.exclude_csr, u_idxs)
             tb = min(256, -(-u_idxs.shape[0] // 8) * 8)
-            _, topk_idx, ok = peel_masked_topk(
-                u_repr, items, cols, mask, k_max, tb=tb, interpret=interpret,
-                with_fallback=False)  # not-ok batches are redone by the driver
+            if fused_ok:
+                _, topk_idx, ok = peel_masked_topk(
+                    u_repr, items, cols, mask, k_max, tb=tb,
+                    interpret=interpret,
+                    with_fallback=False)  # not-ok batches redone by the driver
+            else:
+                scores = u_repr @ items.T
+                _, topk_idx, ok = peel_masked_topk_scores(
+                    scores, cols, mask, k_max, tb=tb, interpret=interpret,
+                    with_fallback=False)
             hits = csr_contains_rows(data.pos_csr, u_idxs,
                                      topk_idx).astype(jnp.float32)
             n_pos = (data.pos_csr.indptr[u_idxs + 1]

@@ -249,3 +249,55 @@ def test_feat_mf_and_ecf_dot_parts_rank_equal():
         dot_rank = np.argsort(-np.asarray(u_fn(u) @ items.T), axis=1)
         true_rank = np.argsort(-np.asarray(fn(u)), axis=1)
         np.testing.assert_array_equal(dot_rank, true_rank, err_msg=name)
+
+
+def test_dot_fast_path_scores_variant_past_fused_gate(monkeypatch):
+    """Catalogs past the fused kernel's VMEM gate must still get the dot
+    fast path (scores-path peel variant) with metrics identical to the
+    generic path."""
+    import jax.numpy as jnp
+
+    import sibrar_tpu.ops.pallas_peel as pp
+
+    splits = make_synthetic_splits(n_users=32, n_items=65536,
+                                   n_interactions=2000, seed=11,
+                                   with_features=False)
+    val = splits["val"]
+    ev = FullEvaluator(EvalConfig(top_k=[10]), val, evaluator_name="val")
+    rng = np.random.default_rng(3)
+    d = 16
+    u_mat = jnp.asarray(rng.standard_normal((val.n_users, d)).astype(np.float32))
+    items = jnp.asarray(
+        rng.standard_normal((val.n_items_in_split, d)).astype(np.float32))
+    user_repr_fn = lambda u: u_mat[u]  # noqa: E731
+
+    # shrink the fused VMEM gate below this catalog: fused_ok must be False
+    monkeypatch.setattr(pp, "_PEEL_MAX_ROW_BYTES", 1024)
+    assert not pp.peel_viable(val.n_items_in_split, 10,
+                              ev.data.exclude_csr.max_row_len, fused=True)
+    assert pp.peel_viable(val.n_items_in_split, 10,
+                          ev.data.exclude_csr.max_row_len)
+    batch_fn = ev.make_dot_eval_batch(user_repr_fn, items, interpret=True)
+    assert batch_fn is not None
+
+    score_fn = lambda u: user_repr_fn(u) @ items.T  # noqa: E731
+    ref = evaluate_model(score_fn, ev, batch_size=16)
+
+    ev2 = FullEvaluator(EvalConfig(top_k=[10]), val, evaluator_name="val")
+    batch_fn = ev2.make_dot_eval_batch(user_repr_fn, items, interpret=True)
+    users = np.asarray(ev2.data.users_in_split)
+    bs = 16
+    for start in range(0, len(users) - len(users) % bs, bs):
+        u = jnp.asarray(users[start:start + bs], jnp.int32)
+        metrics, cov, ok = batch_fn(u)
+        assert bool(jnp.all(ok))
+        for k, v in metrics.items():
+            ev2._per_user.setdefault(k, []).append(v)
+        ev2._per_user_users.append(u)
+        ev2._valid.append(np.ones(bs, bool))
+        for k, flags in cov.items():
+            ev2._cov_flags[k] = (ev2._cov_flags[k] | flags
+                                 if k in ev2._cov_flags else flags)
+    got = ev2.get_results()
+    for key in ("val/ndcg@10", "val/recall@10", "val/coverage@10"):
+        np.testing.assert_allclose(got[key], ref[key], atol=1e-6, err_msg=key)

@@ -4,7 +4,7 @@ Same chain as `bench.bench_jax_large` (score matmul + masked_topk auto →
 margin-path peel), wrapped in `jax.profiler.trace`; parses the trace.json.gz
 and prints top device ops by total duration.
 
-Usage: python tools/probe_eval_profile.py [top_n]
+Usage: python tools/probe_eval_profile.py [top_n] [catalog_size]
 """
 import collections
 import glob
@@ -33,7 +33,7 @@ def main():
     from sibrar_tpu.ops.topk import masked_topk
 
     B, D, K, EXCL = bench.B, bench.D, bench.K, bench.EXCL
-    C = bench.C_LARGE
+    C = int(sys.argv[2]) if len(sys.argv) > 2 else bench.C_LARGE
     rng = np.random.default_rng(1)
     u = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
     it = jnp.asarray(rng.normal(size=(C, D)).astype(np.float32))
