@@ -1,13 +1,13 @@
 """TPU probe: window-maxima formulations over a [B, C] score matrix at 500k.
 
-The profiled eval chain shows `scores.reshape(B, NW, 128).max(-1)` is NOT a
-free view: XLA materializes a [B, NW, 128] relayout copy (6.2 ms at
-C=501760, 2 GB) before the reduce (2.7 ms). Candidates measured inside the
-real producer chain (matmul -> wmax -> consume):
-
-  reshape : current reshape+max
-  pool    : lax.reduce_window max-pool (1,128) stride (1,128)
-  pallas  : Pallas lane-group max on the native layout (if implemented)
+KEPT AS A CAUTIONARY ARTIFACT: this wall-clock probe reported 0.022 ms for
+a 263-GFLOP matmul chain through the remote tunnel — physically impossible
+numbers, exactly as the dev notes warn for standalone micro-probes. The
+trustworthy measurements came from `tools/probe_eval_profile.py` (device-op
+durations out of jax.profiler traces), which showed BOTH XLA spellings
+relayout the full matrix (reshape+max: 6.2 ms copy + 2.7 reduce;
+reduce_window: 6.3 ms transpose copy + 3.1 pool) and drove the Pallas
+`ops/pallas_peel.window_max` design (2.89 ms, native layout).
 
 Usage: python tools/probe_wmax.py {reshape|pool}
 """
