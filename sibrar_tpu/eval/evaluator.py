@@ -172,7 +172,7 @@ class FullEvaluator:
             return None
         from sibrar_tpu.ops.pallas_peel import (
             peel_masked_topk,
-            peel_masked_topk_scores,
+            peel_masked_topk_dot,
             peel_viable,
         )
 
@@ -183,10 +183,10 @@ class FullEvaluator:
         e = data.exclude_csr.max_row_len
         fused_ok = peel_viable(n_catalog, self.k_max, e, fused=True)
         # catalogs past the fused kernel's VMEM gate (C ≳ 192k) still ride
-        # the fast path: materialize [B, C] once and select through the
-        # scores-path peel (native-layout window maxima + chunked sorted-run
-        # gather — the same chain `masked_topk` auto would pick, minus the
-        # generic score_fn indirection)
+        # the fast path: the native-layout GEMM epilogue writes [B, C]
+        # scores + window maxima in one pass and selection runs the chunked
+        # sorted-run peel (peel_masked_topk_dot — bitwise-identical scores
+        # to the XLA matmul, no C limit)
         if not fused_ok and not peel_viable(n_catalog, self.k_max, e):
             return None
         ks, k_max = self.ks, self.k_max
@@ -203,10 +203,9 @@ class FullEvaluator:
                     interpret=interpret,
                     with_fallback=False)  # not-ok batches redone by the driver
             else:
-                scores = u_repr @ items.T
-                _, topk_idx, ok = peel_masked_topk_scores(
-                    scores, cols, mask, k_max, tb=tb, interpret=interpret,
-                    with_fallback=False)
+                _, topk_idx, ok = peel_masked_topk_dot(
+                    u_repr, items, cols, mask, k_max, tb=tb,
+                    interpret=interpret, with_fallback=False)
             hits = csr_contains_rows(data.pos_csr, u_idxs,
                                      topk_idx).astype(jnp.float32)
             n_pos = (data.pos_csr.indptr[u_idxs + 1]

@@ -614,14 +614,18 @@ def peel_topk_from_scores(scores: jax.Array, excl_cols: jax.Array,
                           window: int = 128, t: int = 12,
                           interpret: bool = False,
                           with_fallback: bool = True,
-                          b_real: int | None = None):
+                          b_real: int | None = None,
+                          wmax: jax.Array | None = None):
     """Exact top-k (+ per-user exclusion) straight off a padded [B, C] score
     matrix: window maxima are one max-pool pass on the native layout and
     windows are gathered with aligned dynamic lane slices — the [NW, B, W]
-    retile pass (2 extra [B, C] HBM round trips) never happens."""
+    retile pass (2 extra [B, C] HBM round trips) never happens. Producers
+    that already have the maxima (the fused `score_native_wmax` epilogue)
+    pass them via ``wmax``, skipping that read entirely."""
     b, c = scores.shape
     nw = c // window
-    wmax = window_max(scores, window, interpret=interpret)
+    if wmax is None:
+        wmax = window_max(scores, window, interpret=interpret)
 
     def gather_fn(wi, sorted_rows=False):
         return gather_score_windows(scores, wi, w=window,
@@ -663,6 +667,49 @@ def peel_masked_topk_scores(scores: jax.Array, excl_cols: jax.Array | None,
     out = peel_topk_from_scores(scores, excl_cols, excl_mask, k, c,
                                 window=window, t=t, interpret=interpret,
                                 with_fallback=with_fallback, b_real=b)
+    if with_fallback:
+        v, idx = out
+        return v[:b], idx[:b]
+    v, idx, ok = out
+    return v[:b], idx[:b], ok[:b]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "t", "window", "tb", "bc", "interpret",
+                                    "with_fallback"))
+def peel_masked_topk_dot(u: jax.Array, items: jax.Array,
+                         excl_cols: jax.Array | None,
+                         excl_mask: jax.Array | None,
+                         k: int, *, t: int = 12, window: int = 128,
+                         tb: int = 256, bc: int = 1024,
+                         interpret: bool = False,
+                         with_fallback: bool = True):
+    """Dot-product scores + exclusion + exact top-k with the fused
+    native-layout epilogue: one GEMM pass writes [B, C] scores AND their
+    window maxima (`ops/pallas_window.score_native_wmax`), then selection
+    runs the scores-path peel with its wmax read deleted. Unlike
+    `peel_masked_topk` (windowed [NW, B, W] tiling, VMEM-capped at
+    C ≈ 192k) this scales to arbitrary catalogs via the chunked sorted-run
+    gather."""
+    from sibrar_tpu.ops.pallas_window import score_native_wmax
+
+    b, d = u.shape
+    c = items.shape[0]
+    bp, cp, dp = -(-b // tb) * tb, -(-c // bc) * bc, -(-d // 128) * 128
+    if dp != d:
+        u = jnp.pad(u, ((0, 0), (0, dp - d)))
+        items = jnp.pad(items, ((0, 0), (0, dp - d)))
+    if bp != b:
+        u = jnp.pad(u, ((0, bp - b), (0, 0)))
+    if cp != c:
+        items = jnp.pad(items, ((0, cp - c), (0, 0)))
+    excl_cols, excl_mask = _pad_excl(excl_cols, excl_mask, b, bp)
+    scores, wmax = score_native_wmax(u, items, window=window, bc=bc,
+                                     interpret=interpret)
+    out = peel_topk_from_scores(scores, excl_cols, excl_mask, k, c,
+                                window=window, t=t, interpret=interpret,
+                                with_fallback=with_fallback, b_real=b,
+                                wmax=wmax)
     if with_fallback:
         v, idx = out
         return v[:b], idx[:b]

@@ -75,6 +75,18 @@ def _retile_kernel(s_ref, swt_ref, wmaxt_ref, *, nwb: int, window: int):
         wmaxt_ref[w, :] = sl.max(axis=1)
 
 
+def _score_native_kernel(u_ref, it_ref, s_ref, wmaxt_ref, *, nwb: int,
+                         window: int):
+    blk = lax.dot_general(u_ref[:], it_ref[:], (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)  # [TB, BC]
+    s_ref[...] = blk
+    # wmax rows go to SUBLANES of a [NW, B]-transposed output (sublane-row
+    # stores are legal; single-lane stores are not) — the 16 MB transpose
+    # back to [B, NW] happens on the XLA side, off the 2 GB hot path
+    for w in range(nwb):
+        wmaxt_ref[w, :] = blk[:, w * window:(w + 1) * window].max(axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("window", "tb", "bc", "interpret"))
 def score_windows(u: jax.Array, items: jax.Array, *, window: int = 128,
                   tb: int = 256, bc: int = 1024, interpret: bool = False
@@ -151,6 +163,53 @@ def window_scores_from(scores: jax.Array, *, window: int = 128, tb: int = 256,
         interpret=interpret,
     )(scores)
     return sw_t, wmax_t.T
+
+
+@functools.partial(jax.jit, static_argnames=("window", "tb", "bc", "interpret"))
+def score_native_wmax(u: jax.Array, items: jax.Array, *, window: int = 128,
+                      tb: int = 1024, bc: int = 1024, interpret: bool = False
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Fused GEMM epilogue writing NATIVE-layout scores plus window maxima:
+    ``(scores [B, C], wmax [B, C/window])`` for ``scores = u @ items.T``.
+
+    Feeds `ops/pallas_peel.peel_topk_from_scores` with its `wmax` already
+    computed, deleting the separate full-matrix window_max read (one ~2 GB
+    HBM pass at C=500k). Unlike `score_windows` the score matrix keeps the
+    matmul's own [B, C] tiling, so the downstream window gather and the
+    dense scatter fallback read it directly. Same alignment contract as
+    `score_windows` (pad upstream)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d = u.shape
+    c = items.shape[0]
+    tb = min(tb, b)
+    if b % tb or c % bc or bc % window or d % 128 or window % 128:
+        raise ValueError(
+            f"shape misalignment: B={b}%{tb}, C={c}%{bc}, bc={bc}%{window}, "
+            f"D={d}%128, window={window}%128")
+    nwb = bc // window
+    kernel = functools.partial(_score_native_kernel, nwb=nwb, window=window)
+    scores, wmax_t = pl.pallas_call(
+        kernel,
+        grid=(b // tb, c // bc),
+        in_specs=[
+            pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, bc), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nwb, tb), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((c // window, b), jnp.float32),
+        ],
+        interpret=interpret,
+    )(u, items)
+    return scores, wmax_t.T
 
 
 # ----------------------------------------------------------------- gather

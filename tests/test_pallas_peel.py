@@ -426,3 +426,43 @@ def test_sorted_runs_chunked_gather_matches_plain(monkeypatch):
     monkeypatch.setattr(pp, "_GATHER_VMEM_BYTES", 1 << 14)  # force chunking
     g_runs = gather_score_windows(s, widx, sorted_rows=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(g_runs), np.asarray(g_plain))
+
+
+@pytest.mark.parametrize("b,c,d,e,k,t", [
+    (8, 2048, 128, 16, 10, 8),     # aligned
+    (5, 1000, 48, 7, 10, 4),       # everything needs padding
+    (16, 5120, 128, 33, 100, 16),  # margin > windows touched
+])
+def test_peel_native_dot_topk_matches_oracle(b, c, d, e, k, t):
+    """`peel_masked_topk_dot` (fused native-layout scores+wmax epilogue)
+    must match the oracle on the same shapes as the windowed fused path."""
+    from sibrar_tpu.ops.pallas_peel import peel_masked_topk_dot
+
+    rng = np.random.default_rng(3)
+    u = rng.normal(size=(b, d)).astype(np.float32)
+    it = rng.normal(size=(c, d)).astype(np.float32)
+    cols = np.stack([rng.choice(c, size=e, replace=False) for _ in range(b)]
+                    ).astype(np.int32)
+    mask = rng.random((b, e)) < 0.8
+    scores = jnp.asarray(u) @ jnp.asarray(it).T
+    ov, _ = _oracle(scores, cols, mask, k)
+    v, i = peel_masked_topk_dot(jnp.asarray(u), jnp.asarray(it),
+                                jnp.asarray(cols), jnp.asarray(mask), k, t=t,
+                                interpret=True)
+    _check(v, i, scores, ov, cols, mask)
+
+
+def test_score_native_wmax_matches_xla(monkeypatch):
+    """The fused epilogue's scores and window maxima must equal the XLA
+    matmul + reshape-max spelling (interpret mode: exact)."""
+    from sibrar_tpu.ops.pallas_window import score_native_wmax
+
+    rng = np.random.default_rng(17)
+    b, c, d = 16, 4096, 128
+    u = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    it = jnp.asarray(rng.normal(size=(c, d)).astype(np.float32))
+    scores, wmax = score_native_wmax(u, it, tb=8, interpret=True)
+    ref = np.asarray(u) @ np.asarray(it).T
+    np.testing.assert_allclose(np.asarray(scores), ref, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(wmax), np.asarray(scores).reshape(b, c // 128, 128).max(-1))
