@@ -704,8 +704,13 @@ def peel_masked_topk_dot(u: jax.Array, items: jax.Array,
     if cp != c:
         items = jnp.pad(items, ((0, cp - c), (0, 0)))
     excl_cols, excl_mask = _pad_excl(excl_cols, excl_mask, b, bp)
-    scores, wmax = score_native_wmax(u, items, window=window, bc=bc,
-                                     interpret=interpret)
+    # the GEMM's user-block size must divide the padded batch: 1024 (items
+    # read once) when it does, else this function's own tb (bp % tb == 0 by
+    # construction) — without this a 1536-row padded batch hits the kernel's
+    # alignment check
+    gemm_tb = 1024 if bp % 1024 == 0 else (bp if bp <= 1024 else tb)
+    scores, wmax = score_native_wmax(u, items, window=window, tb=gemm_tb,
+                                     bc=bc, interpret=interpret)
     out = peel_topk_from_scores(scores, excl_cols, excl_mask, k, c,
                                 window=window, t=t, interpret=interpret,
                                 with_fallback=with_fallback, b_real=b,

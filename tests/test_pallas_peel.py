@@ -466,3 +466,19 @@ def test_score_native_wmax_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(scores), ref, rtol=1e-5)
     np.testing.assert_array_equal(
         np.asarray(wmax), np.asarray(scores).reshape(b, c // 128, 128).max(-1))
+
+
+def test_peel_native_dot_batch_not_multiple_of_gemm_block():
+    """Regression: a padded batch of 1536 rows (multiple of the peel tb=256
+    but not of the GEMM's preferred 1024 block) must run, not trip the
+    score_native_wmax alignment check."""
+    from sibrar_tpu.ops.pallas_peel import peel_masked_topk_dot
+
+    rng = np.random.default_rng(41)
+    b, c, d, k = 1536, 4096, 64, 10
+    u = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    it = jnp.asarray(rng.normal(size=(c, d)).astype(np.float32))
+    scores = u @ it.T
+    ov, oi = lax.top_k(scores, k)
+    v, i = peel_masked_topk_dot(u, it, None, None, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(ov))

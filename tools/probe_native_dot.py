@@ -5,7 +5,10 @@ Program 2: XLA matmul -> peel_masked_topk_scores (the current chain).
 Compares selections, reports bitwise score-matmul agreement, and prints
 device-op times from a profiler trace for program 1.
 
-Usage: python tools/probe_native_dot.py [C]
+Usage: python tools/probe_native_dot.py {chain|bits} [C]
+  chain: correctness vs the separate-pass chain + trace profile (2 programs)
+  bits : bitwise score agreement with the XLA matmul (2 programs)
+(split per the <=2-jitted-programs-per-TPU-process rule in CLAUDE.md)
 """
 import collections
 import glob
@@ -27,7 +30,8 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def main():
-    C = int(sys.argv[1]) if len(sys.argv) > 1 else 501_760
+    mode = sys.argv[1] if len(sys.argv) > 1 else "chain"
+    C = int(sys.argv[2]) if len(sys.argv) > 2 else 501_760
     B, D, K, E = 1024, 256, 100, 64
     from sibrar_tpu.ops.pallas_peel import (
         peel_masked_topk_dot,
@@ -40,6 +44,14 @@ def main():
     it = jnp.asarray(rng.normal(size=(C, D)).astype(np.float32))
     cols = np.sort(rng.integers(0, C, size=(B, E)), axis=1).astype(np.int32)
     mask = np.ones((B, E), bool)
+
+    if mode == "bits":
+        # bitwise matmul agreement on a slice: native epilogue vs XLA matmul
+        s_nat, _ = score_native_wmax(u, it[:2048])
+        s_xla = u @ it[:2048].T
+        print(json.dumps(
+            {"scores_bitwise_equal_xla": bool(jnp.array_equal(s_nat, s_xla))}))
+        return
 
     @jax.jit
     def chain_native(u, it):
@@ -57,15 +69,8 @@ def main():
     v2, i2, ok2 = chain_scores(u, it)
     jax.block_until_ready((v1, v2))
     sel_equal = bool(jnp.array_equal(i1, i2)) and bool(jnp.array_equal(v1, v2))
-
-    # bitwise matmul agreement (separate tiny program on a slice to stay
-    # inside compile budget): native epilogue scores vs XLA matmul
-    s_nat, _ = score_native_wmax(u, it[:2048])
-    s_xla = u @ it[:2048].T
-    bits_equal = bool(jnp.array_equal(s_nat, s_xla))
     print(json.dumps({"sel_equal": sel_equal,
-                      "ok_all": bool(jnp.all(ok1)),
-                      "scores_bitwise_equal_xla": bits_equal}), flush=True)
+                      "ok_all": bool(jnp.all(ok1))}), flush=True)
 
     trace_dir = "/tmp/jaxtrace_native"
     with jax.profiler.trace(trace_dir):
