@@ -1,0 +1,188 @@
+"""Low-latency top-k recommendation serving over a fitted run.
+
+The reference framework has no serving path — inference happens only inside
+evaluation (`/root/reference/eval/eval.py:207-222` scores batches to compute
+metrics and discards the rankings). This module packages the same exact
+selection pipeline for production use:
+
+- item representations are computed once at load (the model's
+  ``dot_parts``/``score_fn`` exactly as evaluation uses them);
+- the serve step is ONE jitted program at a fixed batch size, so repeated
+  calls never retrace (requests are padded to the batch size);
+- already-interacted items are excluded on device through the same CSR the
+  evaluator uses (train for a val-split recommender, train+val for test);
+- selection is the exact `masked_topk` chain (peel kernels on TPU, windowed
+  scatter elsewhere), and catalog positions are mapped back to global item
+  ids before returning.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sibrar_tpu.data.dataset import DeviceData, RecDataset
+
+
+class Recommender:
+    """Serve exact top-k recommendations for user ids of a fitted model.
+
+    Parameters
+    ----------
+    score_fn:
+        ``score_fn(u_idxs [B]) -> scores [B, n_catalog]`` over the split's
+        catalog — the same callable evaluation uses (`Trainer.make_score_fn`
+        or a matrix algorithm's ``score_fn``). A ``dot_parts`` attribute
+        (user_repr_fn, items), when present, routes serving through the
+        fused dot kernels.
+    dataset:
+        The split `RecDataset` the score_fn was built against (supplies the
+        catalog mapping and exclusion lists).
+    k:
+        Maximum list length served; ``recommend`` can ask for any ``k`` up
+        to this.
+    batch_size:
+        Fixed device batch; requests are padded up to a multiple of it.
+    exclude_seen:
+        When True (default), each user's already-interacted items (the
+        split's exclusion lists: train, plus val for a test split) are
+        removed from their ranking, exactly as in evaluation.
+    """
+
+    def __init__(self, score_fn: Callable, dataset: RecDataset,
+                 device_data: Optional[DeviceData] = None, *,
+                 k: int = 100, batch_size: int = 256,
+                 exclude_seen: bool = True):
+        self.dataset = dataset
+        self.data = device_data if device_data is not None else dataset.to_device()
+        self.k = min(k, dataset.n_items_in_split)
+        self.batch_size = batch_size
+        self.exclude_seen = exclude_seen
+        self.score_fn = score_fn
+        self._catalog_items = np.asarray(dataset.items_in_split)
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------ build
+    def _build_step(self):
+        from sibrar_tpu.ops.sparse import DeviceCSR
+        from sibrar_tpu.ops.topk import masked_topk
+
+        data, k = self.data, self.k
+        if self.exclude_seen:
+            csr = data.exclude_csr
+        else:  # empty exclusion CSR: masked_topk degenerates to plain top-k
+            csr = DeviceCSR(
+                indptr=jnp.zeros(self.dataset.n_users + 1, jnp.int32),
+                indices=jnp.zeros((0,), jnp.int32),
+                n_rows=self.dataset.n_users,
+                n_cols=self.dataset.n_items_in_split, max_row_len=0)
+        score_fn = self.score_fn
+        dot_parts = getattr(score_fn, "dot_parts", None)
+
+        use_dot = False
+        if dot_parts is not None and jax.default_backend() == "tpu":
+            from sibrar_tpu.ops.pallas_peel import peel_viable
+
+            c = self.dataset.n_items_in_split
+            use_dot = peel_viable(c, k, csr.max_row_len) or peel_viable(
+                c, k, csr.max_row_len, fused=True)
+
+        if use_dot:
+            from sibrar_tpu.ops.pallas_peel import (
+                peel_masked_topk,
+                peel_masked_topk_dot,
+                peel_viable,
+            )
+            from sibrar_tpu.ops.sparse import csr_row_gather
+
+            user_repr_fn, items = dot_parts
+            fused_ok = peel_viable(self.dataset.n_items_in_split, k,
+                                   csr.max_row_len, fused=True)
+
+            def step(u_idxs):
+                u_repr = user_repr_fn(u_idxs)
+                cols, mask = csr_row_gather(csr, u_idxs)
+                fn = peel_masked_topk if fused_ok else peel_masked_topk_dot
+                # with_fallback=True: serving calls are not inside lax loops,
+                # so the in-graph dense redo only runs when actually needed
+                return fn(u_repr, items, cols, mask, k)
+
+            return jax.jit(step)
+
+        def step(u_idxs):
+            scores = score_fn(u_idxs)
+            return masked_topk(scores, csr, u_idxs, k, method="auto")
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------ serve
+    def recommend(self, user_ids, k: Optional[int] = None,
+                  return_scores: bool = False):
+        """Exact top-k item ids (global ids) for ``user_ids``.
+
+        Returns ``ids [N, k] int64`` (or ``(ids, scores)`` with
+        ``return_scores=True``). ``k`` defaults to the recommender's
+        configured maximum.
+        """
+        k = self.k if k is None else min(k, self.k)
+        users = np.asarray(user_ids, dtype=np.int32).reshape(-1)
+        n = len(users)
+        bs = self.batch_size
+        pad = (-n) % bs
+        if pad:
+            users = np.concatenate([users, np.repeat(users[-1:], pad)])
+        vals, idxs = [], []
+        for start in range(0, len(users), bs):
+            v, i = self._step(jnp.asarray(users[start:start + bs]))
+            vals.append(v)
+            idxs.append(i)
+        v = np.asarray(jnp.concatenate(vals))[:n, :k]
+        i = np.asarray(jnp.concatenate(idxs))[:n, :k]
+        ids = self._catalog_items[i]  # catalog position -> global item id
+        return (ids, v) if return_scores else ids
+
+    # ------------------------------------------------------------------ load
+    @classmethod
+    def from_run_dir(cls, run_dir: str, split: str = "test", **kwargs
+                     ) -> "Recommender":
+        """Rebuild a fitted run from disk and wrap it for serving.
+
+        ``split`` picks the catalog/exclusion context: "test" excludes
+        train+val interactions (the usual serving setup), "val" excludes
+        train only.
+        """
+        from sibrar_tpu.config.schema import ExperimentConfig, from_dict
+        from sibrar_tpu.experiment import _load_split
+        from sibrar_tpu.models.registry import get_algorithm
+        from sibrar_tpu.utils.analysis import _read_yaml
+
+        conf = from_dict(ExperimentConfig,
+                         _read_yaml(os.path.join(run_dir, "conf.yml")))
+        conf.results_path = run_dir
+        spec = get_algorithm(conf.algorithm)
+        train_ds = _load_split(conf, "train")
+        serve_ds = _load_split(conf, split)
+        if spec.kind == "sgd":
+            from sibrar_tpu.eval.evaluator import FullEvaluator
+            from sibrar_tpu.train.trainer import Trainer
+
+            device_data = train_ds.to_device()
+            model = spec.build(conf.model, train_ds, device_data)
+            evaluator = FullEvaluator(conf.eval, serve_ds,
+                                      evaluator_name=split)
+            trainer = Trainer(model, train_ds, evaluator, conf.learn,
+                              conf.dataset, seed=conf.run_settings.seed,
+                              device_data=device_data,
+                              init_for_training=False)
+            trainer.load(run_dir)
+            score_fn = trainer.make_score_fn()
+            return cls(score_fn, serve_ds, device_data=evaluator.data,
+                       k=kwargs.pop("k", max(conf.eval.top_k)), **kwargs)
+        alg = spec.build(conf.model, train_ds)
+        alg.load(run_dir)
+        score_fn = alg.score_fn(serve_ds.items_in_split)
+        return cls(score_fn, serve_ds,
+                   k=kwargs.pop("k", max(conf.eval.top_k)), **kwargs)

@@ -357,6 +357,14 @@ class Trainer:
 
         # initial validation before training (reference trainer.py:103-119)
         metrics = self.validate()
+        if key not in metrics:
+            # silent failure mode otherwise: best_value stays -inf, the best
+            # model is never updated OR SAVED, and fit returns the untrained
+            # initial metrics (e.g. optimizing_metric ndcg@10 with top_k [5])
+            raise ValueError(
+                f"optimizing metric {key!r} is not produced by the validation "
+                f"evaluator (available: {sorted(metrics)}); check "
+                f"learn.optimizing_metric against eval.top_k/eval.metrics")
         self.log_fn({"epoch": -1, **metrics})
         self._maybe_update_best(metrics.get(key, -np.inf), -1)
         best_metrics = metrics

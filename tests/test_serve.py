@@ -1,0 +1,109 @@
+"""Serving layer (`sibrar_tpu.serve.Recommender`): exact top-k lists with
+on-device exclusion, fixed-batch jitted step, run-dir reload."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from sibrar_tpu.data.synthetic import make_synthetic_splits
+from sibrar_tpu.serve import Recommender
+
+
+@pytest.fixture(scope="module")
+def splits():
+    return make_synthetic_splits(n_users=40, n_items=70, n_interactions=900,
+                                 seed=13)
+
+
+def _dot_score_fn(n_users, n_items, d=8, seed=0):
+    rng = np.random.default_rng(seed)
+    u_mat = jnp.asarray(rng.standard_normal((n_users, d)).astype(np.float32))
+    items = jnp.asarray(rng.standard_normal((n_items, d)).astype(np.float32))
+
+    def score_fn(u):
+        return u_mat[u] @ items.T
+
+    score_fn.dot_parts = (lambda u: u_mat[u], items)
+    return score_fn, np.asarray(u_mat), np.asarray(items)
+
+
+def test_recommend_matches_oracle_and_excludes_seen(splits):
+    val = splits["val"]
+    score_fn, u_np, i_np = _dot_score_fn(val.n_users, val.n_items_in_split)
+    rec = Recommender(score_fn, val, k=10, batch_size=16)
+    users = np.asarray(val.users_in_split)[:25]  # pads 25 -> 32
+    ids, scores = rec.recommend(users, return_scores=True)
+    assert ids.shape == (25, 10) and scores.shape == (25, 10)
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)  # descending
+
+    # oracle: full scores with the split's exclusions set to -inf
+    full = u_np[users] @ i_np.T
+    excl = val.exclusion_lists if hasattr(val, "exclusion_lists") else None
+    csr = rec.data.exclude_csr
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    for r, u in enumerate(users):
+        banned = indices[indptr[u]:indptr[u + 1]]
+        assert not set(ids[r]) & set(np.asarray(val.items_in_split)[banned])
+        row = full[r].copy()
+        row[banned] = -np.inf
+        oracle_ids = np.asarray(val.items_in_split)[
+            np.argsort(-row, kind="stable")[:10]]
+        np.testing.assert_array_equal(np.sort(scores[r])[::-1],
+                                      np.sort(row[oracle_ids])[::-1])
+
+
+def test_recommend_without_exclusion(splits):
+    val = splits["val"]
+    score_fn, u_np, i_np = _dot_score_fn(val.n_users, val.n_items_in_split,
+                                         seed=2)
+    rec = Recommender(score_fn, val, k=5, batch_size=8, exclude_seen=False)
+    users = np.asarray(val.users_in_split)[:8]
+    ids, scores = rec.recommend(users, return_scores=True)
+    full = u_np[users] @ i_np.T
+    np.testing.assert_allclose(scores, -np.sort(-full, axis=1)[:, :5],
+                               atol=1e-6)
+
+
+def test_from_run_dir_roundtrip(tmp_path):
+    """Fit MF through the experiment CLI, reload it for serving, and check
+    the lists against the model's own score_fn."""
+    import run_experiment
+    from sibrar_tpu.data.synthetic import write_reference_artifacts
+
+    splits = make_synthetic_splits(n_users=30, n_items=40,
+                                   n_interactions=600, seed=5)
+    art = str(tmp_path / "data")
+    write_reference_artifacts(art, splits)
+    res = str(tmp_path / "run")
+    conf_path = str(tmp_path / "conf.yml")
+    with open(conf_path, "w") as fh:
+        yaml.safe_dump({
+            "learn": {"n_epochs": 2, "lr": 0.005, "rec_loss": "bpr",
+                      "optimizing_metric": "ndcg@5"},
+            "eval": {"top_k": [5], "metrics": ["ndcg"]},
+            "loader": {"batch_size": 32, "eval_batch_size": 32},
+            "dataset": {"n_negative_samples": 2},
+            "model": {"embedding_dim": 8},
+            "results_path": res,
+        }, fh)
+    run_experiment.main(["-a", "mf", "-d", art, "-t", "train_val",
+                         "-c", conf_path])
+
+    rec = Recommender.from_run_dir(res, split="val", batch_size=16)
+    users = np.arange(10)
+    ids = rec.recommend(users, k=5)
+    assert ids.shape == (10, 5)
+    assert set(ids.ravel()) <= set(np.asarray(rec.dataset.items_in_split))
+    # lists must agree with the reloaded model's own masked scores
+    scores = np.asarray(rec.score_fn(jnp.asarray(users, jnp.int32)))
+    indptr = np.asarray(rec.data.exclude_csr.indptr)
+    indices = np.asarray(rec.data.exclude_csr.indices)
+    for r, u in enumerate(users):
+        row = scores[r].copy()
+        row[indices[indptr[u]:indptr[u + 1]]] = -np.inf
+        top = np.asarray(rec.dataset.items_in_split)[
+            np.argsort(-row, kind="stable")[:5]]
+        assert set(ids[r]) == set(top), (r, ids[r], top)
