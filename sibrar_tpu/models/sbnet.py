@@ -75,6 +75,9 @@ class SingleBranchNetEntityConfig:
     apply_output_activation: bool = False
     apply_batch_normalization: bool = True
     apply_batch_norm_every: int = 0
+    # None -> module default (ROUTED_TRAIN_MODALITIES). False restores the
+    # reference's iid compute-all modality sampling for ablation.
+    routed_modality_sampling: Optional[bool] = None
 
 
 @dataclass
@@ -114,6 +117,7 @@ class SingleBranchNetEntity(RecModel):
     apply_output_activation: bool = False
     apply_batch_normalization: bool = True
     apply_batch_norm_every: int = 0
+    routed_modality_sampling: Optional[bool] = None
 
     def setup(self):
         mods = []
@@ -169,7 +173,10 @@ class SingleBranchNetEntity(RecModel):
                    if reg_type == EmbeddingRegularizationType.CENTRAL_MODALITY
                    else None)
         key = self.make_rng("sample")
-        if ROUTED_TRAIN_MODALITIES and len(self._mods) > 1:
+        routed = (self.routed_modality_sampling
+                  if self.routed_modality_sampling is not None
+                  else ROUTED_TRAIN_MODALITIES)
+        if routed and len(self._mods) > 1:
             picked = self._routed_projections(idxs, key, k, central)
         else:
             # legacy compute-all: stack every modality's projection
@@ -391,6 +398,7 @@ class SingleBranchNet(RecModel):
                 apply_output_activation=ec.apply_output_activation,
                 apply_batch_normalization=ec.apply_batch_normalization,
                 apply_batch_norm_every=ec.apply_batch_norm_every,
+                routed_modality_sampling=ec.routed_modality_sampling,
             )
 
         return SingleBranchNet(

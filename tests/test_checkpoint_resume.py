@@ -15,7 +15,8 @@ def _trainer(splits, seed=0):
     model = SGDMatrixFactorization(n_users=40, n_items=50, embedding_dim=8)
     ev = FullEvaluator(EvalConfig(top_k=[5]), splits["val"], evaluator_name="val")
     return Trainer(model, splits["train"], ev,
-                   LearningConfig(n_epochs=1, lr=1e-2, rec_loss="bpr"),
+                   LearningConfig(n_epochs=1, lr=1e-2, rec_loss="bpr",
+                                  optimizing_metric="ndcg@5"),
                    DatasetConfig(), batch_size=32, seed=seed)
 
 

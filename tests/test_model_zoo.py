@@ -299,3 +299,16 @@ def test_routed_sbnet_loss_matches_compute_all_distribution(splits):
             sbnet_mod.ROUTED_TRAIN_MODALITIES = old
     assert np.isfinite(results[True]) and np.isfinite(results[False])
     assert abs(results[True] - results[False]) < 0.35, results
+
+
+def test_sbnet_routed_sampling_config_knob(splits):
+    """`routed_modality_sampling` in the model conf overrides the module
+    default (False restores the reference's iid compute-all sampling)."""
+    from sibrar_tpu.models.sbnet import SingleBranchNet
+
+    dd = splits["train"].to_device()
+    conf = _sbnet_conf()
+    conf["item"]["routed_modality_sampling"] = False
+    model = SingleBranchNet.build_from_conf(conf, splits["train"], dd)
+    assert model.item_module.routed_modality_sampling is False
+    _fit(model, splits, epochs=1, device_data=dd)

@@ -107,3 +107,29 @@ def test_from_run_dir_roundtrip(tmp_path):
         top = np.asarray(rec.dataset.items_in_split)[
             np.argsort(-row, kind="stable")[:5]]
         assert set(ids[r]) == set(top), (r, ids[r], top)
+
+
+def test_from_run_dir_matrix_algorithm(tmp_path):
+    """Closed-form algorithms reload for serving through the same entry."""
+    import run_experiment
+    from sibrar_tpu.data.synthetic import write_reference_artifacts
+
+    splits = make_synthetic_splits(n_users=30, n_items=40,
+                                   n_interactions=600, seed=6)
+    art = str(tmp_path / "data")
+    write_reference_artifacts(art, splits)
+    res = str(tmp_path / "run")
+    conf_path = str(tmp_path / "conf.yml")
+    with open(conf_path, "w") as fh:
+        yaml.safe_dump({
+            "eval": {"top_k": [5], "metrics": ["ndcg"]},
+            "loader": {"batch_size": 32, "eval_batch_size": 32},
+            "model": {"lam": 5.0},
+            "results_path": res,
+        }, fh)
+    run_experiment.main(["-a", "ease", "-d", art, "-t", "train_val",
+                         "-c", conf_path])
+    rec = Recommender.from_run_dir(res, split="val", batch_size=8)
+    ids = rec.recommend(np.arange(6), k=5)
+    assert ids.shape == (6, 5)
+    assert set(ids.ravel()) <= set(np.asarray(rec.dataset.items_in_split))
