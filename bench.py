@@ -174,6 +174,58 @@ def bench_jax_large() -> dict:
     }
 
 
+def bench_jax_large_dot() -> dict:
+    """The 500k point through the evaluator's actual dot fast path
+    (`make_dot_eval_batch` → `peel_masked_topk_dot`): one fused GEMM pass
+    writes [B, C] scores AND window maxima (`score_native_wmax`), deleting
+    the separate window-max read the generic scores chain above pays."""
+    import jax
+
+    from sibrar_tpu.ops.pallas_peel import peel_viable
+
+    if jax.default_backend() != "tpu" or not peel_viable(C_LARGE, K, EXCL):
+        return {}
+    # extras must never sink the whole bench line: this path shares kernels
+    # with eval_large but compiles a distinct program
+    return _guarded(_bench_jax_large_dot_impl)
+
+
+def _guarded(fn) -> dict:
+    try:
+        return fn()
+    except Exception as e:  # pragma: no cover - defensive
+        return {"eval_large_dot_error": f"{type(e).__name__}: {e}"[:200]}
+
+
+def _bench_jax_large_dot_impl() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from sibrar_tpu.ops.pallas_peel import peel_masked_topk_dot
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    it = jnp.asarray(rng.normal(size=(C_LARGE, D)).astype(np.float32))
+    cols = jnp.asarray(np.sort(rng.integers(0, C_LARGE, size=(B, EXCL)),
+                               axis=1).astype(np.int32))
+    mask = jnp.ones((B, EXCL), bool)
+
+    @jax.jit
+    def step(u, it):
+        return peel_masked_topk_dot(u, it, cols, mask, K)
+
+    v, i = step(u, it)
+    v.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(ITERS_LARGE):
+        v, i = step(u, it)
+    v.block_until_ready()
+    dt = time.perf_counter() - t0
+    return {
+        "eval_large_dot_items_per_sec": round(B * C_LARGE * ITERS_LARGE / dt),
+        "eval_large_dot_ms_per_step": round(dt / ITERS_LARGE * 1e3, 3),
+    }
+
+
 def bench_torch() -> float:
     try:
         import torch
@@ -440,6 +492,7 @@ def main():
     ours, eval_ms = bench_jax()
     fused = bench_jax_fused()
     large = bench_jax_large()
+    large.update(bench_jax_large_dot())
     train_sps, train_ms = bench_train_jax()
     base = bench_torch()
     base_train = bench_train_torch()

@@ -130,6 +130,9 @@ class Recommender:
         k = self.k if k is None else min(k, self.k)
         users = np.asarray(user_ids, dtype=np.int32).reshape(-1)
         n = len(users)
+        if n == 0:
+            ids = np.zeros((0, k), dtype=self._catalog_items.dtype)
+            return (ids, np.zeros((0, k), np.float32)) if return_scores else ids
         bs = self.batch_size
         pad = (-n) % bs
         if pad:

@@ -133,3 +133,13 @@ def test_from_run_dir_matrix_algorithm(tmp_path):
     ids = rec.recommend(np.arange(6), k=5)
     assert ids.shape == (6, 5)
     assert set(ids.ravel()) <= set(np.asarray(rec.dataset.items_in_split))
+
+
+def test_recommend_empty_request(splits):
+    val = splits["val"]
+    score_fn, _, _ = _dot_score_fn(val.n_users, val.n_items_in_split)
+    rec = Recommender(score_fn, val, k=10, batch_size=16)
+    ids = rec.recommend(np.array([], dtype=np.int64))
+    assert ids.shape == (0, 10)
+    ids, scores = rec.recommend([], k=5, return_scores=True)
+    assert ids.shape == (0, 5) and scores.shape == (0, 5)
