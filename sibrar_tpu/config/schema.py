@@ -250,12 +250,18 @@ class ParallelConfig:
     item_parallelism: Optional[int] = None  # None → auto (pow2 ≤ sqrt(n))
     # round batch sizes up to the mesh's data-axis multiple instead of failing
     adjust_batch_sizes: bool = True
+    # tensor-parallel interaction-tower first layers over the item axis (the
+    # [n_items, h]/[n_users, h] kernels — the zoo's only large weights)
+    shard_towers: bool = True
+    tower_min_rows: int = 8192  # shard only kernels at least this tall
 
     def validate(self) -> None:
         if self.n_devices is not None and self.n_devices <= 0:
             raise ValueError("n_devices must be positive")
         if self.item_parallelism is not None and self.item_parallelism <= 0:
             raise ValueError("item_parallelism must be positive")
+        if self.tower_min_rows < 0:
+            raise ValueError("tower_min_rows must be non-negative")
 
 
 @dataclass

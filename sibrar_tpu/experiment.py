@@ -102,6 +102,14 @@ def _make_log_fn(conf: ExperimentConfig, wandb_run):
     return log
 
 
+def _tower_kwargs(conf: ExperimentConfig) -> dict:
+    """Trainer kwargs for tensor-parallel interaction towers (conf.parallel)."""
+    p = conf.parallel
+    if p is None:
+        return {}
+    return {"shard_towers": p.shard_towers, "tower_min_rows": p.tower_min_rows}
+
+
 def _make_run_mesh(conf: ExperimentConfig):
     """Resolve conf.parallel into a device mesh (None on single-device runs)
     and reconcile batch sizes with the mesh's data-axis multiple — the wiring
@@ -181,6 +189,7 @@ def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
             log_fn=_log,
             device_data=device_data,
             mesh=mesh,
+            **_tower_kwargs(conf),
             train_evaluator=train_evaluator,
             post_val_fn=post_val_fn,
             profile_dir=(os.path.join(results_path, "profile")
@@ -229,6 +238,7 @@ def run_test(conf: ExperimentConfig, log_fn=None) -> dict:
             seed=conf.run_settings.seed,
             device_data=device_data,
             mesh=mesh,
+            **_tower_kwargs(conf),
             init_for_training=False,  # load-only: no init compile, no optimizer
         )
         trainer.load(results_path)
@@ -310,7 +320,7 @@ def run_gather(conf: ExperimentConfig, split_set: str = "test",
             batch_size=conf.loader.batch_size,
             eval_batch_size=conf.loader.eval_batch_size,
             seed=conf.run_settings.seed, device_data=device_data,
-            mesh=mesh, init_for_training=False)
+            mesh=mesh, **_tower_kwargs(conf), init_for_training=False)
         trainer.load(results_path)
         score_fn = trainer.make_score_fn()
     else:

@@ -114,6 +114,60 @@ def batch_multiple(mesh: Optional[Mesh]) -> int:
     return mesh.shape[DATA_AXIS] if mesh is not None else 1
 
 
+# ------------------------------------------------------------- tower tensor parallel
+def _key_name(k) -> str:
+    return str(getattr(k, "key", getattr(k, "name", k)))
+
+
+def _is_tower_kernel(path, leaf, n_shards: int, min_rows: int) -> bool:
+    """First-layer kernels of interaction towers: the only genuinely large
+    weights in the zoo (`[n_items, h]` / `[n_users, h]` input layers of
+    DMF / DropoutNet / SBNet-'interactions',
+    `/root/reference/algorithms/sgd_alg.py:1175-1181`). Matched structurally —
+    a 2-D ``kernel`` leaf whose input dim is entity-sized (≥ ``min_rows``) —
+    because flax names the owning module by its field (``u_tower``,
+    ``modality_modules_3``, …). Everything else in the zoo is either an
+    ``embedding`` table or an MLP kernel with a hidden-sized input dim."""
+    if getattr(leaf, "ndim", 0) != 2 or _key_name(path[-1]) != "kernel":
+        return False
+    return leaf.shape[0] >= min_rows and leaf.shape[0] % n_shards == 0
+
+
+def shard_tower_state(tree, mesh: Optional[Mesh], *, min_rows: int = 8192):
+    """Tensor-parallel placement for a train-state pytree: interaction-tower
+    first-layer kernels (and their mirrored optimizer moments) are sharded
+    ``P(item, None)``; every other leaf is explicitly replicated.
+
+    With the kernel row-sharded, GSPMD partitions the first-layer contraction
+    over the item axis — the densified ``[B, n_cols]`` row (or the bag
+    gather) splits along ``n_cols``, each shard computes its partial
+    ``[B, h]``, and one psum over ICI merges — so the item axis does useful
+    tensor-parallel work on the train path instead of replicating it, and
+    kernel + adam-moment HBM residency drops by the shard count.
+
+    Returns ``(tree, n_sharded_leaves)``; a no-op (0 sharded) without a mesh
+    or with a 1-sized item axis.
+    """
+    if mesh is None or mesh.shape[ITEM_AXIS] <= 1:
+        return tree, 0
+    n_shards = mesh.shape[ITEM_AXIS]
+    row_sh = NamedSharding(mesh, P(ITEM_AXIS, None))
+    rep = NamedSharding(mesh, P())
+    n_sharded = 0
+
+    def place(path, leaf):
+        nonlocal n_sharded
+        if not hasattr(leaf, "shape"):
+            return leaf
+        if _is_tower_kernel(path, leaf, n_shards, min_rows):
+            n_sharded += 1
+            return jax.device_put(leaf, row_sh)
+        return jax.device_put(leaf, rep)
+
+    out = jax.tree_util.tree_map_with_path(place, tree)
+    return out, n_sharded
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 

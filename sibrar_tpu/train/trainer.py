@@ -87,6 +87,8 @@ class Trainer:
         post_val_fn: Optional[Callable[[Any, int], dict]] = None,
         init_for_training: bool = True,
         profile_dir: Optional[str] = None,
+        shard_towers: bool = True,
+        tower_min_rows: int = 8192,
     ):
         self.model = model
         self.mesh = mesh
@@ -139,11 +141,31 @@ class Trainer:
             rng=jax.random.fold_in(rng, 7),
             step=jnp.zeros((), jnp.int32),
         )
+        self.shard_towers = shard_towers
+        self.tower_min_rows = tower_min_rows
+        self._apply_tower_sharding()
         self._epoch_fn = None
         self.best_params = None
         self.best_batch_stats = None
         self.best_value = -np.inf
         self.best_epoch = -1
+
+    def _apply_tower_sharding(self):
+        """Tensor-parallel placement of interaction-tower first layers over
+        the mesh's item axis (`parallel/mesh.shard_tower_state`): the
+        [n_items, h]/[n_users, h] kernels and their optimizer moments are
+        row-sharded; GSPMD splits the first-layer contraction per shard and
+        psums the [B, h] partials over ICI. Re-applied after checkpoint
+        restores so the epoch jit keeps one stable input-sharding signature."""
+        if self.mesh is None or not self.shard_towers:
+            return
+        from sibrar_tpu.parallel.mesh import shard_tower_state
+
+        (params, opt_state), n = shard_tower_state(
+            (self.state.params, self.state.opt_state), self.mesh,
+            min_rows=self.tower_min_rows)
+        if n:
+            self.state = self.state.replace(params=params, opt_state=opt_state)
 
     # ----------------------------------------------------------------- train step
     def _model_variables(self, state: TrainState) -> dict:
@@ -483,6 +505,7 @@ class Trainer:
         self.best_batch_stats = restored["best"]["batch_stats"]
         self.best_value = float(restored["best"]["value"])
         self.best_epoch = int(restored["best"]["epoch"])
+        self._apply_tower_sharding()
 
     # ---------------------------------------------------------------- persistence
     def save(self, path: str):
@@ -503,3 +526,4 @@ class Trainer:
         restored = jax.tree_util.tree_map(jnp.asarray, restored)
         self.state = self.state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"])
+        self._apply_tower_sharding()

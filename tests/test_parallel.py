@@ -165,3 +165,97 @@ def test_sharded_masked_topk_k_larger_than_shard():
                                jnp.asarray(mask), 20, mesh)
     ref_v, _ = jax.lax.top_k(jnp.asarray(scores), 20)
     np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v), rtol=1e-6)
+
+
+def test_tower_tensor_parallel_matches_single_device():
+    """Interaction-tower first-layer kernels ([n_entities, h] — the zoo's only
+    large weights, SURVEY.md §5.8) are row-sharded over the item axis when a
+    mesh is active: the params/opt-state leaves carry P('item', None), the
+    epoch still trains, and metrics match the single-device run (the sharded
+    contraction changes only partial-sum order)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from sibrar_tpu.config.schema import DatasetConfig, EvalConfig, LearningConfig
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator, evaluate_model
+    from sibrar_tpu.models.dmf import DeepMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(8)  # (data=4, item=2)
+    # n_users/n_items divisible by the 2-sized item axis
+    splits = make_synthetic_splits(n_users=48, n_items=64, n_interactions=900,
+                                   seed=3, with_features=False)
+    learn = LearningConfig(n_epochs=1, rec_loss="bpr", optimizing_metric="ndcg@5")
+
+    def run(mesh_arg):
+        dd = splits["train"].to_device()
+        model = DeepMatrixFactorization.build_from_conf(
+            {"u_mid_layers": [16], "i_mid_layers": [16], "final_dimension": 8},
+            splits["train"], dd)
+        ev = FullEvaluator(EvalConfig(top_k=[5]), splits["val"],
+                           evaluator_name="val", mesh=mesh_arg)
+        t = Trainer(model, splits["train"], ev, learn, DatasetConfig(),
+                    batch_size=16, seed=0, mesh=mesh_arg, device_data=dd,
+                    tower_min_rows=48)  # both towers qualify at toy scale
+        t.train_epoch()
+        return t, evaluate_model(t.make_score_fn(), ev, 16)
+
+    t_sh, sharded = run(mesh)
+
+    def row_sharded(x):  # spec may normalize P('item', None) -> P('item')
+        return x.sharding.is_equivalent_to(
+            NamedSharding(mesh, P("item", None)), x.ndim)
+
+    # the tower kernels (and their adam moments) actually carry the TP spec
+    kernels = [t_sh.state.params["user_nn"]["kernel"],
+               t_sh.state.params["item_nn"]["kernel"]]
+    assert all(row_sharded(k) for k in kernels)
+    mus = jax.tree_util.tree_leaves(t_sh.state.opt_state)
+    assert any(getattr(m, "ndim", 0) == 2 and m.shape[0] == 64
+               and row_sharded(m) for m in mus)
+    # hidden-layer kernels stay replicated
+    rep = NamedSharding(mesh, P())
+    for leaf in jax.tree_util.tree_leaves(t_sh.state.params["user_nn"]["rest"]):
+        assert leaf.sharding.is_equivalent_to(rep, leaf.ndim)
+
+    _, plain = run(None)
+    assert plain.keys() == sharded.keys()
+    for k in plain:
+        np.testing.assert_allclose(plain[k], sharded[k], rtol=2e-4, atol=2e-4)
+
+
+def test_tower_tp_checkpoint_roundtrip(tmp_path):
+    """Checkpoint save/restore under tower TP: restored kernels are re-sharded
+    and training continues."""
+    from sibrar_tpu.config.schema import DatasetConfig, EvalConfig, LearningConfig
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.dmf import DeepMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(8)
+    splits = make_synthetic_splits(n_users=48, n_items=64, n_interactions=900,
+                                   seed=3, with_features=False)
+    learn = LearningConfig(n_epochs=1, rec_loss="bpr", optimizing_metric="ndcg@5")
+
+    def trainer():
+        dd = splits["train"].to_device()
+        model = DeepMatrixFactorization.build_from_conf(
+            {"u_mid_layers": [16], "i_mid_layers": [16], "final_dimension": 8},
+            splits["train"], dd)
+        ev = FullEvaluator(EvalConfig(top_k=[5]), splits["val"],
+                           evaluator_name="val", mesh=mesh)
+        return Trainer(model, splits["train"], ev, learn, DatasetConfig(),
+                       batch_size=16, seed=0, mesh=mesh, device_data=dd,
+                       tower_min_rows=48)
+
+    a = trainer()
+    a.train_epoch()
+    a.save_checkpoint(str(tmp_path / "ckpt"))
+    b = trainer()
+    b.load_checkpoint(str(tmp_path / "ckpt"))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    k = b.state.params["item_nn"]["kernel"]
+    assert k.sharding.is_equivalent_to(NamedSharding(mesh, P("item", None)),
+                                       k.ndim)
+    losses = b.train_epoch()
+    assert np.isfinite(losses["train/loss"])
