@@ -259,3 +259,39 @@ def test_tower_tp_checkpoint_roundtrip(tmp_path):
                                        k.ndim)
     losses = b.train_epoch()
     assert np.isfinite(losses["train/loss"])
+
+
+def test_tower_tp_bag_path_matches_single_device(monkeypatch):
+    """TP also holds on the embedding-bag first layer (gather from the
+    row-sharded kernel): GSPMD turns the take into masked partial gathers +
+    a psum; results must match the unsharded run."""
+    from sibrar_tpu.config.schema import DatasetConfig, EvalConfig, LearningConfig
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator, evaluate_model
+    from sibrar_tpu.models import layers as layers_mod
+    from sibrar_tpu.models.dmf import DeepMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    monkeypatch.setattr(layers_mod, "BAG_BREAK_EVEN_FACTOR", 1)  # force bag
+    mesh = make_mesh(8)
+    splits = make_synthetic_splits(n_users=48, n_items=64, n_interactions=900,
+                                   seed=5, with_features=False)
+    learn = LearningConfig(n_epochs=1, rec_loss="bpr", optimizing_metric="ndcg@5")
+
+    def run(mesh_arg):
+        dd = splits["train"].to_device()
+        model = DeepMatrixFactorization.build_from_conf(
+            {"u_mid_layers": [16], "i_mid_layers": [16], "final_dimension": 8},
+            splits["train"], dd)
+        ev = FullEvaluator(EvalConfig(top_k=[5]), splits["val"],
+                           evaluator_name="val", mesh=mesh_arg)
+        t = Trainer(model, splits["train"], ev, learn, DatasetConfig(),
+                    batch_size=16, seed=0, mesh=mesh_arg, device_data=dd,
+                    tower_min_rows=48)
+        t.train_epoch()
+        return evaluate_model(t.make_score_fn(), ev, 16)
+
+    sharded = run(mesh)
+    plain = run(None)
+    for k in plain:
+        np.testing.assert_allclose(plain[k], sharded[k], rtol=2e-4, atol=2e-4)
