@@ -55,13 +55,14 @@ class Recommender:
     def __init__(self, score_fn: Callable, dataset: RecDataset,
                  device_data: Optional[DeviceData] = None, *,
                  k: int = 100, batch_size: int = 256,
-                 exclude_seen: bool = True):
+                 exclude_seen: bool = True, mesh=None):
         self.dataset = dataset
         self.data = device_data if device_data is not None else dataset.to_device()
         self.k = min(k, dataset.n_items_in_split)
         self.batch_size = batch_size
         self.exclude_seen = exclude_seen
         self.score_fn = score_fn
+        self.mesh = mesh
         self._catalog_items = np.asarray(dataset.items_in_split)
         self._step = self._build_step()
 
@@ -81,6 +82,35 @@ class Recommender:
                 n_cols=self.dataset.n_items_in_split, max_row_len=0)
         score_fn = self.score_fn
         dot_parts = getattr(score_fn, "dot_parts", None)
+
+        if self.mesh is not None and self.mesh.shape.get("item", 1) > 1:
+            # multi-chip serving: catalog sharded over the item axis, the
+            # same per-shard exclusion + selection + tiny [B, k] candidate
+            # merge the evaluator uses (`parallel.mesh.sharded_masked_topk`);
+            # the fallback-free per-shard scatter chain keeps every request
+            # exact with no redo logic.
+            from sibrar_tpu.ops.sparse import csr_row_gather
+            from sibrar_tpu.parallel.mesh import sharded_masked_topk
+
+            mesh = self.mesh
+            n_catalog = self.dataset.n_items_in_split
+            n_shards = mesh.shape["item"]
+            pad = (-n_catalog) % n_shards
+
+            def step(u_idxs):
+                scores = score_fn(u_idxs)
+                if csr.max_row_len:
+                    cols, mask = csr_row_gather(csr, u_idxs)
+                else:  # no exclusions: a single always-masked column
+                    cols = jnp.zeros((u_idxs.shape[0], 1), jnp.int32)
+                    mask = jnp.zeros((u_idxs.shape[0], 1), bool)
+                if pad:
+                    scores = jnp.pad(scores, ((0, 0), (0, pad)),
+                                     constant_values=-1e30)
+                return sharded_masked_topk(scores, cols, mask, k, mesh,
+                                           use_peel=False)
+
+            return jax.jit(step)
 
         use_dot = False
         if dot_parts is not None and jax.default_backend() == "tpu":
@@ -155,7 +185,9 @@ class Recommender:
 
         ``split`` picks the catalog/exclusion context: "test" excludes
         train+val interactions (the usual serving setup), "val" excludes
-        train only.
+        train only. The run's ``parallel:`` block applies to serving too
+        (auto-enabled mesh on multi-chip TPU backends → catalog-sharded
+        selection); pass ``mesh=None`` explicitly to force single-device.
         """
         from sibrar_tpu.config.schema import ExperimentConfig, from_dict
         from sibrar_tpu.experiment import _load_split
@@ -165,6 +197,10 @@ class Recommender:
         conf = from_dict(ExperimentConfig,
                          _read_yaml(os.path.join(run_dir, "conf.yml")))
         conf.results_path = run_dir
+        if "mesh" not in kwargs:
+            from sibrar_tpu.parallel.mesh import make_mesh_from_config
+
+            kwargs["mesh"] = make_mesh_from_config(conf.parallel)
         spec = get_algorithm(conf.algorithm)
         train_ds = _load_split(conf, "train")
         serve_ds = _load_split(conf, split)

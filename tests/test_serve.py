@@ -143,3 +143,20 @@ def test_recommend_empty_request(splits):
     assert ids.shape == (0, 10)
     ids, scores = rec.recommend([], k=5, return_scores=True)
     assert ids.shape == (0, 5) and scores.shape == (0, 5)
+
+
+def test_recommend_mesh_matches_single_device(splits):
+    """Catalog-sharded serving (mesh item axis) returns the same lists as
+    the single-device recommender."""
+    from sibrar_tpu.parallel.mesh import make_mesh
+
+    val = splits["val"]
+    score_fn, _, _ = _dot_score_fn(val.n_users, val.n_items_in_split)
+    users = np.asarray(val.users_in_split)[:20]
+    plain = Recommender(score_fn, val, k=10, batch_size=16)
+    mesh = make_mesh(8, item_parallelism=2)
+    sharded = Recommender(score_fn, val, k=10, batch_size=16, mesh=mesh)
+    ids_p, sc_p = plain.recommend(users, return_scores=True)
+    ids_s, sc_s = sharded.recommend(users, return_scores=True)
+    np.testing.assert_allclose(sc_p, sc_s, rtol=1e-6)
+    np.testing.assert_array_equal(ids_p, ids_s)
