@@ -184,13 +184,20 @@ def sharded_topk(
     unsharded ``[B, C]`` matrix (the SURVEY.md §5.7 catalog-sharding pattern);
     the merge traffic is ``O(B·k·n_shards)`` over ICI.
 
+    The user batch shards over the data axis at the same time (padded to its
+    multiple), so a (data, item) mesh applies ALL its devices to one eval
+    batch — without it the data-axis devices replicate the item shards' work.
+
     Returns global ``(values[B, k], indices[B, k])`` with indices in catalog space.
     """
     n_shards = mesh.shape[ITEM_AXIS]
-    c = scores.shape[-1]
+    b, c = scores.shape
     if c % n_shards:
         raise ValueError(f"catalog size {c} not divisible by {n_shards} item shards")
     local_c = c // n_shards
+    bpad = (-b) % mesh.shape[DATA_AXIS]
+    if bpad:
+        scores = jnp.pad(scores, ((0, bpad), (0, 0)), constant_values=-jnp.inf)
 
     def local_topk(s):  # s: [B, local_c]
         from sibrar_tpu.ops.topk import windowed_topk
@@ -219,11 +226,12 @@ def sharded_topk(
     fn = jax.shard_map(
         local_topk,
         mesh=mesh,
-        in_specs=P(None, ITEM_AXIS),
-        out_specs=(P(), P()),
+        in_specs=P(DATA_AXIS, ITEM_AXIS),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
         check_vma=False,
     )
-    return fn(scores)
+    v, i = fn(scores)
+    return (v[:b], i[:b]) if bpad else (v, i)
 
 
 def sharded_masked_topk(
@@ -256,6 +264,11 @@ def sharded_masked_topk(
     Exactness: per-shard selection is exact over the shard's columns with its
     exclusions applied (peel covering theorem + exactness checks), and the
     merge of exact per-shard top-k is exact.
+
+    The user batch shards over the data axis at the same time (padded to its
+    multiple here, sliced back before returning): on a (data, item) mesh one
+    eval batch uses ALL devices — data-axis groups each select over their
+    own user rows while the item axis splits the catalog.
     """
     from sibrar_tpu.ops.topk import windowed_topk
     from sibrar_tpu.ops.sparse import scatter_fill_rows
@@ -267,6 +280,14 @@ def sharded_masked_topk(
         raise ValueError(f"catalog size {c} not divisible by {n_shards} item shards")
     local_c = c // n_shards
     e = excl_cols.shape[1]
+    bpad = (-b) % mesh.shape[DATA_AXIS]
+    if bpad:
+        # pad rows: constant scores, no exclusions; their selection output
+        # (and any peel not-ok flag on the degenerate all-ties row) is
+        # sliced off before returning
+        scores = jnp.pad(scores, ((0, bpad), (0, 0)), constant_values=_NEG)
+        excl_cols = jnp.pad(excl_cols, ((0, bpad), (0, 0)))
+        excl_mask = jnp.pad(excl_mask, ((0, bpad), (0, 0)))
     if use_peel is None:
         from sibrar_tpu.ops.pallas_peel import peel_viable
 
@@ -276,9 +297,10 @@ def sharded_masked_topk(
         use_peel = False  # no flag channel → only the fallback-free path
 
     kk = min(k, local_c)
-    tb = min(256, -(-b // 8) * 8)
+    local_b = (b + bpad) // mesh.shape[DATA_AXIS]
+    tb = min(256, -(-local_b // 8) * 8)
 
-    def local_fn(s, cols, mask):  # s: [B, local_c]; cols/mask replicated
+    def local_fn(s, cols, mask):  # s: [local_b, local_c]
         shard_id = jax.lax.axis_index(ITEM_AXIS)
         lc = cols - shard_id * local_c
         lmask = mask & (lc >= 0) & (lc < local_c)
@@ -310,11 +332,13 @@ def sharded_masked_topk(
     fn = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(None, ITEM_AXIS), P(), P()),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(DATA_AXIS, ITEM_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         check_vma=False,
     )
     v, idx, ok = fn(scores, excl_cols, excl_mask)
+    if bpad:
+        v, idx, ok = v[:b], idx[:b], ok[:b]
     if return_ok:
         return v, idx, ok
     return v, idx

@@ -295,3 +295,24 @@ def test_tower_tp_bag_path_matches_single_device(monkeypatch):
     plain = run(None)
     for k in plain:
         np.testing.assert_allclose(plain[k], sharded[k], rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_masked_topk_full_mesh_odd_batch():
+    """The user batch shards over the data axis (padded to its multiple and
+    sliced back): results identical to the dense oracle for a B that divides
+    neither the data axis nor the batch evenly."""
+    from sibrar_tpu.parallel.mesh import sharded_masked_topk
+
+    mesh = make_mesh(8)  # data=4, item=2
+    rng = np.random.default_rng(7)
+    b, c, e, k = 21, 64, 5, 6  # 21 % 4 != 0
+    scores = jnp.asarray(rng.standard_normal((b, c)).astype(np.float32))
+    cols = jnp.asarray(rng.integers(0, c, size=(b, e)).astype(np.int32))
+    mask = jnp.asarray(rng.random((b, e)) < 0.8)
+    v, i = sharded_masked_topk(scores, cols, mask, k, mesh)
+    dense = np.asarray(scores).copy()
+    for r in range(b):
+        dense[r, np.asarray(cols)[r][np.asarray(mask)[r]]] = -1e30
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(dense), k)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
