@@ -358,7 +358,13 @@ def evaluate_model(
                     "peel top-k exactness check tripped in %d/%d batches; "
                     "re-running those batches with the scatter top-k",
                     int(bad.size), n_batches)
-                scatter_batch = jax.jit(evaluator._scatter_eval_batch())
+                # reuse the evaluator's cached jitted scatter program — a
+                # fresh jax.jit object here would retrace (and recompile)
+                # on every validation that trips a redo
+                if not hasattr(evaluator, "_jit_eval_batch_scatter"):
+                    evaluator._jit_eval_batch_scatter = jax.jit(
+                        evaluator._scatter_eval_batch())
+                scatter_batch = evaluator._jit_eval_batch_scatter
                 for bi in bad:
                     m_b, c_b, _ = scatter_batch(score_fn(u_dev[bi]),
                                                 u_dev[bi])

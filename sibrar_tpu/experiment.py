@@ -154,10 +154,12 @@ def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
     """Train on train split, validate on val; returns best val metrics."""
     _apply_run_settings(conf)
     results_path = _results_path(conf)
-    yaml_save(os.path.join(results_path, "conf.yml"), as_dict(conf))
 
     spec = get_algorithm(conf.algorithm)
-    mesh = _make_run_mesh(conf)
+    mesh = _make_run_mesh(conf)  # may round loader batch sizes up to the
+    # mesh's data-axis multiple — persist conf AFTER so the saved run config
+    # records the batch size the run actually used
+    yaml_save(os.path.join(results_path, "conf.yml"), as_dict(conf))
     train_ds = _load_split(conf, "train")
     val_ds = _load_split(conf, "val")
     evaluator = FullEvaluator(conf.eval, val_ds, evaluator_name="val",

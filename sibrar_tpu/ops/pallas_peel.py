@@ -315,10 +315,20 @@ def _gather_cols_runs_kernel(widx_ref, bounds_ref, s_ref, out_ref, *,
         lax.fori_loop(bounds_ref[bb, ci], bounds_ref[bb, ci + 1], body, 0)
 
 
-def _pick_chunk(c: int, gb: int, w: int) -> int:
+def _gather_out_bytes(gb: int, m: int, w: int) -> int:
+    """Scoped-VMEM bytes of the gather's [gb, m, w] out block (counted
+    double-buffered: the block changes at every user-group grid step)."""
+    return 2 * gb * m * w * 4
+
+
+def _pick_chunk(c: int, gb: int, w: int, m: int) -> int:
     """Largest divisor of C that is a multiple of W and keeps the
-    double-buffered [gb, cb] block inside the scoped-VMEM budget."""
-    budget_cols = _GATHER_VMEM_BYTES // (gb * 4 * 2)
+    double-buffered [gb, cb] input block PLUS the [gb, m, w] out block
+    inside the scoped-VMEM budget (the out block grows with the peel margin
+    m = k+E+1, so ignoring it lets large-E configs blow Mosaic's 16 MB
+    scoped window at compile time)."""
+    budget_cols = max(_GATHER_VMEM_BYTES - _gather_out_bytes(gb, m, w),
+                      0) // (gb * 4 * 2)
     n_chunks = 1
     while (c // n_chunks > budget_cols or c % n_chunks
            or (c // n_chunks) % w):
@@ -350,8 +360,8 @@ def gather_score_windows(scores: jax.Array, widx: jax.Array, *, w: int = 128,
         gb = b
     if c % w or w % 128:
         raise ValueError(f"shape misalignment: C={c}%{w}, W={w}%128")
-    if gb * c * 4 * 2 > _GATHER_VMEM_BYTES:
-        cb = _pick_chunk(c, gb, w)
+    if gb * c * 4 * 2 + _gather_out_bytes(gb, m, w) > _GATHER_VMEM_BYTES:
+        cb = _pick_chunk(c, gb, w, m)
         n_chunks = c // cb
         if sorted_rows:
             wpc = cb // w
@@ -773,4 +783,10 @@ def peel_viable(c: int, k: int, e: int, *, window: int = 128,
         return False
     margin = 1 if (e == 0 or _use_corrected_wmax(c, e)) else e + 1
     m = min(k + margin, nw)
+    # the scores-path window gather must fit its [gb, m, W] out block plus
+    # at least a one-window input chunk in scoped VMEM (m grows with E on
+    # the margin path — see _pick_chunk)
+    if (not fused and _gather_out_bytes(8, m, window) + 2 * 8 * window * 4
+            > _GATHER_VMEM_BYTES):
+        return False
     return m * t >= k and 2 * m <= nw

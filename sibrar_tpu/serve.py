@@ -107,8 +107,12 @@ class Recommender:
                 if pad:
                     scores = jnp.pad(scores, ((0, 0), (0, pad)),
                                      constant_values=-1e30)
-                return sharded_masked_topk(scores, cols, mask, k, mesh,
+                v, i = sharded_masked_topk(scores, cols, mask, k, mesh,
                                            use_peel=False)
+                # a user with fewer than k unseen items can tie into the
+                # -1e30 pad columns; clamp so the host-side catalog-id
+                # gather in `recommend` stays in range
+                return v, jnp.minimum(i, n_catalog - 1)
 
             return jax.jit(step)
 

@@ -240,8 +240,12 @@ class Trainer:
                 # every interaction each epoch (its DataLoader simply emits a
                 # smaller last batch, /root/reference/train/trainer.py:204);
                 # this is one extra fixed-shape step inside the same jit, so
-                # no masking/weighting enters the loss math. The epoch mean
-                # weights it by its true size.
+                # no masking/weighting enters the loss math (padding instead
+                # would leak pad rows into in-model reg losses like SBNet's
+                # InfoNCE). It does instantiate train_step at a second shape
+                # — a one-time compile cost, amortized by the persistent
+                # compilation cache. The epoch mean weights it by its true
+                # size.
                 state, tail_losses = train_step(
                     state, perm[n_batches * bs: n_batches * bs + tail])
                 frac = tail / bs

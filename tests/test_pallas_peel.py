@@ -482,3 +482,29 @@ def test_peel_native_dot_batch_not_multiple_of_gemm_block():
     ov, oi = lax.top_k(scores, k)
     v, i = peel_masked_topk_dot(u, it, None, None, k, interpret=True)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(ov))
+
+
+def test_peel_viable_rejects_gather_vmem_blowout():
+    """The margin path's gather out block is [gb, k+E+1, W]; configs where it
+    cannot fit scoped VMEM even with one-window input chunks must be rejected
+    (they used to pass the margin checks and hard-fail at Mosaic compile)."""
+    from sibrar_tpu.ops.pallas_peel import peel_viable
+
+    assert peel_viable(501_760, 100, 64)          # the bench config
+    assert peel_viable(501_760, 100, 450)         # large-E but fits
+    assert not peel_viable(501_760, 100, 1500)    # m=1601: out block > budget
+
+
+def test_pick_chunk_budgets_out_block():
+    """_pick_chunk must leave room for the [gb, m, W] out block."""
+    from sibrar_tpu.ops.pallas_peel import (
+        _GATHER_VMEM_BYTES,
+        _gather_out_bytes,
+        _pick_chunk,
+    )
+
+    for m in (101, 165, 614, 1024):
+        cb = _pick_chunk(501_760, 8, 128, m)
+        assert cb % 128 == 0
+        assert 8 * cb * 4 * 2 + _gather_out_bytes(8, m, 128) \
+            <= _GATHER_VMEM_BYTES, m

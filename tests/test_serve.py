@@ -160,3 +160,23 @@ def test_recommend_mesh_matches_single_device(splits):
     ids_s, sc_s = sharded.recommend(users, return_scores=True)
     np.testing.assert_allclose(sc_p, sc_s, rtol=1e-6)
     np.testing.assert_array_equal(ids_p, ids_s)
+
+
+def test_recommend_mesh_odd_catalog_exhausted_rows():
+    """Catalog not divisible by the item shards (pad columns) plus a k that
+    exceeds some users' unseen-item count: returned ids must stay inside the
+    catalog (pad positions are clamped, never leak to the host gather)."""
+    from sibrar_tpu.parallel.mesh import make_mesh
+
+    sp = make_synthetic_splits(n_users=12, n_items=65, n_interactions=500,
+                               seed=21)
+    val = sp["val"]
+    c = val.n_items_in_split
+    assert c % 2, "fixture should give an odd catalog"
+    score_fn, _, _ = _dot_score_fn(val.n_users, c, seed=2)
+    mesh = make_mesh(8, item_parallelism=2)
+    rec = Recommender(score_fn, val, k=c, batch_size=8, mesh=mesh)
+    users = np.asarray(val.users_in_split)
+    ids = rec.recommend(users)  # k == full catalog > any unseen count
+    assert ids.shape == (len(users), rec.k)
+    assert set(ids.ravel()) <= set(np.asarray(val.items_in_split))
