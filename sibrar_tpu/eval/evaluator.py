@@ -167,7 +167,8 @@ class FullEvaluator:
         import jax as _jax
 
         if self.mesh is not None and self.mesh.shape.get("item", 1) > 1:
-            return None
+            return self._make_sharded_dot_eval_batch(user_repr_fn, items,
+                                                     interpret=interpret)
         if _jax.default_backend() != "tpu" and not interpret:
             return None
         from sibrar_tpu.ops.pallas_peel import (
@@ -206,6 +207,48 @@ class FullEvaluator:
                 _, topk_idx, ok = peel_masked_topk_dot(
                     u_repr, items, cols, mask, k_max, tb=tb,
                     interpret=interpret, with_fallback=False)
+            hits = csr_contains_rows(data.pos_csr, u_idxs,
+                                     topk_idx).astype(jnp.float32)
+            n_pos = (data.pos_csr.indptr[u_idxs + 1]
+                     - data.pos_csr.indptr[u_idxs])
+            return (user_metrics_from_hits(hits, n_pos, ks,
+                                           metrics=tuple(self._user_metrics)),
+                    coverage_flags(topk_idx, ks, n_catalog), ok)
+
+        return eval_batch
+
+    def _make_sharded_dot_eval_batch(self, user_repr_fn, items,
+                                     interpret: bool = False):
+        """Multi-chip dot fast path: every item shard runs the fused
+        GEMM→{scores, wmax}→peel chain on its catalog slice
+        (`parallel.mesh.sharded_masked_topk_dot`) — the single-chip peel
+        pipeline's biggest win applied per shard, with the unsharded [B, C]
+        score matrix never materializing anywhere. Returns None when the
+        per-shard slice fails the peel margins; callers then fall back to
+        the generic scores path (whose sharded selection is exact but pays
+        the materialized-scores passes)."""
+        from sibrar_tpu.parallel.mesh import (
+            sharded_dot_viable,
+            sharded_masked_topk_dot,
+        )
+
+        data = self.data
+        n_catalog = self.dataset.n_items_in_split
+        if items.shape[0] != n_catalog:
+            return None
+        e = data.exclude_csr.max_row_len
+        if not sharded_dot_viable(n_catalog, self.k_max, e, self.mesh,
+                                  interpret=interpret):
+            return None
+        ks, k_max, mesh = self.ks, self.k_max, self.mesh
+
+        def eval_batch(u_idxs):
+            from sibrar_tpu.ops.sparse import csr_row_gather
+
+            u_repr = user_repr_fn(u_idxs)
+            cols, mask = csr_row_gather(data.exclude_csr, u_idxs)
+            _, topk_idx, ok = sharded_masked_topk_dot(
+                u_repr, items, cols, mask, k_max, mesh, interpret=interpret)
             hits = csr_contains_rows(data.pos_csr, u_idxs,
                                      topk_idx).astype(jnp.float32)
             n_pos = (data.pos_csr.indptr[u_idxs + 1]

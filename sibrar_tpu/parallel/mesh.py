@@ -342,3 +342,110 @@ def sharded_masked_topk(
     if return_ok:
         return v, idx, ok
     return v, idx
+
+
+def sharded_dot_viable(c: int, k: int, e: int, mesh: Mesh,
+                       *, interpret: bool = False) -> bool:
+    """Static gate for `sharded_masked_topk_dot`: the per-shard catalog slice
+    must pass the single-chip peel margins (with the ≤ n_shards−1 catalog-pad
+    exclusions counted into E)."""
+    from sibrar_tpu.ops.pallas_peel import peel_viable
+
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    n_shards = mesh.shape[ITEM_AXIS]
+    if n_shards <= 1:
+        return False
+    cp = pad_to_multiple(c, n_shards)
+    local_c = cp // n_shards
+    return peel_viable(local_c, min(k, local_c), e + (cp - c))
+
+
+def sharded_masked_topk_dot(
+    u: jax.Array,          # [B, D] user representations
+    items: jax.Array,      # [C, D] item representations (full catalog)
+    excl_cols: jax.Array,  # [B, E] global catalog columns to exclude
+    excl_mask: jax.Array,  # [B, E] validity of excl_cols
+    k: int,
+    mesh: Mesh,
+    *,
+    interpret: bool = False,
+):
+    """Multi-chip fused dot eval: the catalog shards over the item axis, the
+    user batch over the data axis, and EVERY shard runs the full single-chip
+    fused chain (`ops/pallas_peel.peel_masked_topk_dot`: one GEMM pass writes
+    local scores + window maxima, then chunked peel selection) on its
+    ``[local_b, local_c]`` tile — the unsharded ``[B, C]`` score matrix never
+    exists anywhere. Candidates merge over ICI exactly as in
+    `sharded_masked_topk`.
+
+    Catalog padding (C % n_shards) is handled by excluding the ≤ n_shards−1
+    pad positions through the existing exclusion channel (they are appended
+    as extra exclusion columns; the per-shard local-window filter keeps them
+    only on the owning shard). Returns ``(values[B, k], indices[B, k],
+    ok[B])`` with ``ok`` the AND of per-shard peel exactness flags — callers
+    redo not-ok batches with `sharded_masked_topk(use_peel=False)`.
+
+    Gate with `sharded_dot_viable` — the per-shard slice must satisfy the
+    single-chip peel margins.
+    """
+    n_shards = mesh.shape[ITEM_AXIS]
+    b, d = u.shape
+    c = items.shape[0]
+    cp = pad_to_multiple(c, n_shards)
+    local_c = cp // n_shards
+    if cp != c:
+        items = jnp.pad(items, ((0, cp - c), (0, 0)))
+        # exclude the zero-score pad items via the exclusion channel
+        pad_cols = jnp.broadcast_to(
+            jnp.arange(c, cp, dtype=excl_cols.dtype), (b, cp - c))
+        excl_cols = jnp.concatenate([excl_cols, pad_cols], axis=1)
+        excl_mask = jnp.concatenate(
+            [excl_mask, jnp.ones((b, cp - c), bool)], axis=1)
+    bpad = (-b) % mesh.shape[DATA_AXIS]
+    if bpad:
+        u = jnp.pad(u, ((0, bpad), (0, 0)))
+        excl_cols = jnp.pad(excl_cols, ((0, bpad), (0, 0)))
+        excl_mask = jnp.pad(excl_mask, ((0, bpad), (0, 0)))
+    kk = min(k, local_c)
+    local_b = (b + bpad) // mesh.shape[DATA_AXIS]
+    tb = min(256, -(-local_b // 8) * 8)
+
+    def local_fn(lu, li, cols, mask):  # lu: [local_b, D]; li: [local_c, D]
+        shard_id = jax.lax.axis_index(ITEM_AXIS)
+        lc = cols - shard_id * local_c
+        lmask = mask & (lc >= 0) & (lc < local_c)
+        lc = jnp.where(lmask, lc, 0)
+        from sibrar_tpu.ops.pallas_peel import peel_masked_topk_dot
+
+        v, i, ok = peel_masked_topk_dot(lu, li, lc, lmask, kk, tb=tb,
+                                        interpret=interpret,
+                                        with_fallback=False)
+        i = i + shard_id * local_c
+        if kk < k:
+            v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+            i = jnp.pad(i, ((0, 0), (0, k - kk)))
+        v_all = jax.lax.all_gather(v, ITEM_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, ITEM_AXIS, axis=1, tiled=True)
+        vk, pos = jax.lax.top_k(v_all, k)
+        oh = pos[:, :, None] == jnp.arange(i_all.shape[1], dtype=pos.dtype)
+        idx = jnp.sum(jnp.where(oh, i_all[:, None, :], 0), axis=-1)
+        ok = jnp.min(jax.lax.all_gather(ok.astype(jnp.int32), ITEM_AXIS,
+                                        axis=0), axis=0).astype(bool)
+        return vk, idx, ok
+
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(ITEM_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    v, idx, ok = fn(u, items, excl_cols, excl_mask)
+    # degenerate rows (k > unseen items) can surface excluded/pad positions
+    # at the -1e30 tail; clamp so downstream catalog-space gathers stay
+    # in range (same contract as the single-chip scatter path)
+    idx = jnp.minimum(idx, c - 1)
+    if bpad:
+        v, idx, ok = v[:b], idx[:b], ok[:b]
+    return v, idx, ok

@@ -345,8 +345,10 @@ class Trainer:
 
         # models whose combine ranks like a dot product expose their parts so
         # the evaluator can run the fused matmul→top-k path
-        # (evaluator.make_dot_eval_batch) instead of materializing [B, C]
-        if self.mesh is None and hasattr(self.model, "eval_rank_dot_parts"):
+        # (evaluator.make_dot_eval_batch) instead of materializing [B, C] —
+        # under an item-sharded mesh that becomes the per-shard fused chain
+        # (evaluator._make_sharded_dot_eval_batch)
+        if hasattr(self.model, "eval_rank_dot_parts"):
             u_raw_fn = lambda u: self.model.apply(  # noqa: E731
                 variables, u, train=False, method=self.model.user_repr)
             parts = self.model.eval_rank_dot_parts(u_raw_fn, i_repr)

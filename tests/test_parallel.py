@@ -316,3 +316,73 @@ def test_sharded_masked_topk_full_mesh_odd_batch():
     ref_v, ref_i = jax.lax.top_k(jnp.asarray(dense), k)
     np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_sharded_masked_topk_dot_matches_oracle():
+    """Per-shard fused GEMM→peel chain (interpret mode) == dense oracle,
+    including an odd catalog (pad positions excluded via the exclusion
+    channel) and a batch that doesn't divide the data axis."""
+    from sibrar_tpu.parallel.mesh import (
+        sharded_dot_viable,
+        sharded_masked_topk_dot,
+    )
+
+    mesh = make_mesh(8)  # data=4, item=2
+    rng = np.random.default_rng(11)
+    # c odd vs 2 shards -> one pad column; big enough per shard that the
+    # peel margins hold (local nw >= 2m)
+    b, c, d, e, k = 10, 5201, 16, 7, 9
+    u = rng.standard_normal((b, d)).astype(np.float32)
+    it = rng.standard_normal((c, d)).astype(np.float32)
+    cols = np.sort(rng.integers(0, c, size=(b, e)), axis=1).astype(np.int32)
+    mask = rng.random((b, e)) < 0.8
+    assert sharded_dot_viable(c, k, e, mesh, interpret=True)
+
+    v, i, ok = sharded_masked_topk_dot(
+        jnp.asarray(u), jnp.asarray(it), jnp.asarray(cols), jnp.asarray(mask),
+        k, mesh, interpret=True)
+    assert np.asarray(ok).all()
+    dense = u @ it.T
+    for r in range(b):
+        dense[r, cols[r][mask[r]]] = -np.inf
+    ref_v, _ = jax.lax.top_k(jnp.asarray(dense), k)
+    # same XLA matmul? no — the Pallas GEMM is bitwise-identical to the XLA
+    # matmul per its contract, but compare values with tolerance anyway
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.take_along_axis(u @ it.T, np.asarray(i), 1), np.asarray(v),
+        rtol=1e-5, atol=1e-5)
+    assert int(np.asarray(i).max()) < c
+
+
+def test_sharded_dot_eval_batch_matches_scores_path():
+    """FullEvaluator's sharded dot fast path == its generic scores path on
+    the same users (metrics and coverage identical)."""
+    from sibrar_tpu.config.schema import EvalConfig
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+
+    mesh = make_mesh(8)
+    splits = make_synthetic_splits(n_users=32, n_items=6001,  # odd vs 2 shards
+                                   n_interactions=700, seed=9,
+                                   with_features=False)
+    val = splits["val"]
+    c = val.n_items_in_split
+    rng = np.random.default_rng(3)
+    u_mat = jnp.asarray(rng.standard_normal((val.n_users, 8)).astype(np.float32))
+    items = jnp.asarray(rng.standard_normal((c, 8)).astype(np.float32))
+    ev = FullEvaluator(EvalConfig(top_k=[5, 10]), val, evaluator_name="val",
+                       mesh=mesh)
+    eb = ev.make_dot_eval_batch(lambda u: u_mat[u], items, interpret=True)
+    assert eb is not None
+    users = jnp.asarray(np.asarray(val.users_in_split)[:16], jnp.int32)
+    m_dot, cov_dot, ok = eb(users)
+    assert np.asarray(ok).all()
+    m_ref, cov_ref, _ = ev._eval_batch_raw(u_mat[users] @ items.T, users)
+    for k in m_ref:
+        np.testing.assert_allclose(np.asarray(m_dot[k]), np.asarray(m_ref[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for k in cov_ref:
+        np.testing.assert_array_equal(np.asarray(cov_dot[k]),
+                                      np.asarray(cov_ref[k]))
