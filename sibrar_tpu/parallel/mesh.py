@@ -93,11 +93,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(x, mesh: Optional[Mesh]):
-    """Sharding constraint: leading dim over the data axis (no-op without a mesh)."""
+def shard_batch(x, mesh: Optional[Mesh], *, flat: bool = False):
+    """Sharding constraint on the leading (batch) dim (no-op without a mesh).
+
+    ``flat=False``: shard over the data axis only — the right layout when
+    tensor-parallel weights occupy the item axis (the first-layer contraction
+    then splits over item). ``flat=True``: shard over BOTH axes — pure DP
+    over every device; use when nothing is tensor-parallel, otherwise the
+    item-axis devices replicate each other's gradient work."""
     if mesh is None:
         return x
-    spec = P(DATA_AXIS, *([None] * (jnp.ndim(x) - 1)))
+    lead = (DATA_AXIS, ITEM_AXIS) if flat else DATA_AXIS
+    spec = P(lead, *([None] * (jnp.ndim(x) - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
@@ -110,8 +117,11 @@ def shard_catalog(x, mesh: Optional[Mesh]):
 
 
 def batch_multiple(mesh: Optional[Mesh]) -> int:
-    """Batches must divide evenly over the data axis."""
-    return mesh.shape[DATA_AXIS] if mesh is not None else 1
+    """Batches must divide evenly over the whole mesh: the train step shards
+    the batch over every device when no weight is tensor-parallel
+    (`shard_batch(flat=True)`), so the stricter total-device multiple is the
+    one to round to."""
+    return mesh.size if mesh is not None else 1
 
 
 # ------------------------------------------------------------- tower tensor parallel

@@ -94,8 +94,8 @@ class Trainer:
         self.mesh = mesh
         if mesh is not None and batch_size % batch_multiple(mesh):
             raise ValueError(
-                f"batch_size {batch_size} must divide over the mesh data axis "
-                f"({batch_multiple(mesh)})")
+                f"batch_size {batch_size} must divide over the mesh "
+                f"({batch_multiple(mesh)} devices)")
         self.train_dataset = train_data
         self.data = device_data if device_data is not None else train_data.to_device()
         self.val_evaluator = val_evaluator
@@ -157,6 +157,7 @@ class Trainer:
         row-sharded; GSPMD splits the first-layer contraction per shard and
         psums the [B, h] partials over ICI. Re-applied after checkpoint
         restores so the epoch jit keeps one stable input-sharding signature."""
+        self._tp_sharded = False
         if self.mesh is None or not self.shard_towers:
             return
         from sibrar_tpu.parallel.mesh import shard_tower_state
@@ -166,6 +167,7 @@ class Trainer:
             min_rows=self.tower_min_rows)
         if n:
             self.state = self.state.replace(params=params, opt_state=opt_state)
+            self._tp_sharded = True
 
     # ----------------------------------------------------------------- train step
     def _model_variables(self, state: TrainState) -> dict:
@@ -196,6 +198,10 @@ class Trainer:
         squash = self.dataset_conf.popularity_squashing_factor
 
         mesh = self.mesh
+        # pure-DP batches spread over EVERY mesh axis; with tensor-parallel
+        # tower kernels on the item axis the batch stays on the data axis so
+        # the first-layer contraction splits over item instead
+        flat = not getattr(self, "_tp_sharded", False)
 
         def train_step(state: TrainState, idxs):
             rng = jax.random.fold_in(state.rng, state.step)
@@ -204,17 +210,17 @@ class Trainer:
             # (SURVEY.md §2.9 TPU-native mapping); params stay replicated, so
             # the only train-path collective is the gradient all-reduce XLA
             # inserts for the sharded autodiff.
-            u = shard_batch(data.train_users[idxs], mesh)  # [bs]
-            pos_cat = shard_batch(data.train_items_cat[idxs], mesh)  # [bs]
+            u = shard_batch(data.train_users[idxs], mesh, flat=flat)  # [bs]
+            pos_cat = shard_batch(data.train_items_cat[idxs], mesh, flat=flat)  # [bs]
             negs_cat = sample_negatives(
                 k_neg, u, data.pos_csr, data.popularity,
                 strategy=strategy, n_catalog=n_catalog, n_neg=n_neg,
                 squashing_factor=squash)
             i_cat = jnp.concatenate([pos_cat[:, None], negs_cat], axis=1)
-            i_global = shard_batch(data.catalog[i_cat], mesh)  # [bs, 1+n_neg]
+            i_global = shard_batch(data.catalog[i_cat], mesh, flat=flat)  # [bs, 1+n_neg]
             labels = shard_batch(
                 jnp.zeros((idxs.shape[0], 1 + n_neg), jnp.float32)
-                .at[:, 0].set(1.0), mesh)
+                .at[:, 0].set(1.0), mesh, flat=flat)
 
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (total, (loss, reg, new_bs)), grads = grad_fn(
