@@ -333,10 +333,17 @@ class Trainer:
             cat_p = jnp.pad(catalog, (0, pad), mode="edge") if pad else catalog
             chunks = cat_p.reshape(-1, item_chunk)
             if not hasattr(self, "_jit_item_repr_chunked"):
+                # per-item encode work (towers, modality MLPs — "usually the
+                # bottleneck", reference eval/eval.py:208) spreads over the
+                # mesh: each chunk's item rows shard across devices (all axes
+                # in pure DP; data axis only when TP towers hold the item
+                # axis, so the tower contraction splits over item instead)
+                flat = not getattr(self, "_tp_sharded", False)
                 self._jit_item_repr_chunked = jax.jit(
                     lambda v, ch: jax.lax.map(
                         lambda ck: self.model.apply(
-                            v, ck, train=False, method=self.model.item_repr),
+                            v, shard_batch(ck, self.mesh, flat=flat),
+                            train=False, method=self.model.item_repr),
                         ch))
             stacked = self._jit_item_repr_chunked(variables, chunks)
             i_repr = jax.tree_util.tree_map(

@@ -386,3 +386,30 @@ def test_sharded_dot_eval_batch_matches_scores_path():
     for k in cov_ref:
         np.testing.assert_array_equal(np.asarray(cov_dot[k]),
                                       np.asarray(cov_ref[k]))
+
+
+def test_chunked_item_repr_sharded_matches_default():
+    """The chunked catalog encode with mesh sharding constraints returns the
+    same metrics as the unchunked path."""
+    from sibrar_tpu.config.schema import DatasetConfig, EvalConfig, LearningConfig
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator, evaluate_model
+    from sibrar_tpu.models.mf import SGDMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(8)
+    splits = make_synthetic_splits(n_users=48, n_items=64, n_interactions=900,
+                                   seed=1, with_features=False)
+    model = SGDMatrixFactorization(n_users=48, n_items=64, embedding_dim=8)
+    ev = FullEvaluator(EvalConfig(top_k=[5]), splits["val"],
+                       evaluator_name="val", mesh=mesh)
+    t = Trainer(model, splits["train"], ev,
+                LearningConfig(n_epochs=1, rec_loss="bpr",
+                               optimizing_metric="ndcg@5"),
+                DatasetConfig(), batch_size=16, seed=0, mesh=mesh)
+    t.train_epoch()
+    whole = evaluate_model(t.make_score_fn(), ev, 16)
+    chunked = evaluate_model(t.make_score_fn(item_chunk=16), ev, 16)
+    for k in whole:
+        np.testing.assert_allclose(whole[k], chunked[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
