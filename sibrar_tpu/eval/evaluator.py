@@ -95,6 +95,18 @@ class FullEvaluator:
         self._valid: list = []
         self._cov_flags: Dict[str, jax.Array] = {}
 
+    def _metrics_from_topk(self, topk_idx, u_idxs):
+        """Shared metric tail: hit-test the top-k ids against the positive
+        CSR and derive every requested user metric + coverage flags."""
+        data, ks = self.data, self.ks
+        hits = csr_contains_rows(data.pos_csr, u_idxs,
+                                 topk_idx).astype(jnp.float32)
+        n_pos = (data.pos_csr.indptr[u_idxs + 1]
+                 - data.pos_csr.indptr[u_idxs])
+        return (user_metrics_from_hits(hits, n_pos, ks,
+                                       metrics=tuple(self._user_metrics)),
+                coverage_flags(topk_idx, ks, self.dataset.n_items_in_split))
+
     # ------------------------------------------------------------------ build step
     def _make_eval_batch(self, method: Optional[str] = None):
         """Build ``eval_batch(scores, u_idxs) -> (metrics, cov, ok)``.
@@ -106,10 +118,8 @@ class FullEvaluator:
         redo not-ok batches with the scatter variant
         (`_scatter_eval_batch`)."""
         data = self.data
-        ks = self.ks
         k_max = self.k_max
         n_catalog = self.dataset.n_items_in_split
-        wanted = tuple(self._user_metrics)  # only requested metric chains
 
         method = method or getattr(self.config, "topk_method", "auto")
         mesh = self.mesh
@@ -140,12 +150,7 @@ class FullEvaluator:
                 _, topk_idx, ok = masked_topk(
                     scores, data.exclude_csr, u_idxs, k_max, method=method,
                     return_ok=True)
-            hits = csr_contains_rows(data.pos_csr, u_idxs, topk_idx)
-            hits = hits.astype(jnp.float32)
-            n_pos = (data.pos_csr.indptr[u_idxs + 1] - data.pos_csr.indptr[u_idxs])
-            metrics = user_metrics_from_hits(hits, n_pos, ks,
-                                             metrics=wanted)
-            cov = coverage_flags(topk_idx, ks, n_catalog)
+            metrics, cov = self._metrics_from_topk(topk_idx, u_idxs)
             return metrics, cov, ok
 
         return eval_batch
@@ -166,6 +171,14 @@ class FullEvaluator:
         to the generic scores path."""
         import jax as _jax
 
+        # an explicit scatter/full/noscatter topk_method pins the scores
+        # path (e.g. to rule out the peel kernels while debugging) — the
+        # dot fast paths are peel-based, so they must stand down
+        if getattr(self.config, "topk_method", "auto") not in ("auto", "peel"):
+            return None
+        # test hook: lets the full evaluate_model driver (which cannot pass
+        # interpret) exercise the Pallas paths on the CPU mesh in CI
+        interpret = interpret or getattr(self, "dot_interpret", False)
         if self.mesh is not None and self.mesh.shape.get("item", 1) > 1:
             return self._make_sharded_dot_eval_batch(user_repr_fn, items,
                                                      interpret=interpret)
@@ -190,7 +203,7 @@ class FullEvaluator:
         # to the XLA matmul, no C limit)
         if not fused_ok and not peel_viable(n_catalog, self.k_max, e):
             return None
-        ks, k_max = self.ks, self.k_max
+        k_max = self.k_max
 
         def eval_batch(u_idxs):
             from sibrar_tpu.ops.sparse import csr_row_gather
@@ -207,13 +220,8 @@ class FullEvaluator:
                 _, topk_idx, ok = peel_masked_topk_dot(
                     u_repr, items, cols, mask, k_max, tb=tb,
                     interpret=interpret, with_fallback=False)
-            hits = csr_contains_rows(data.pos_csr, u_idxs,
-                                     topk_idx).astype(jnp.float32)
-            n_pos = (data.pos_csr.indptr[u_idxs + 1]
-                     - data.pos_csr.indptr[u_idxs])
-            return (user_metrics_from_hits(hits, n_pos, ks,
-                                           metrics=tuple(self._user_metrics)),
-                    coverage_flags(topk_idx, ks, n_catalog), ok)
+            metrics, cov = self._metrics_from_topk(topk_idx, u_idxs)
+            return metrics, cov, ok
 
         return eval_batch
 
@@ -240,7 +248,7 @@ class FullEvaluator:
         if not sharded_dot_viable(n_catalog, self.k_max, e, self.mesh,
                                   interpret=interpret):
             return None
-        ks, k_max, mesh = self.ks, self.k_max, self.mesh
+        k_max, mesh = self.k_max, self.mesh
 
         def eval_batch(u_idxs):
             from sibrar_tpu.ops.sparse import csr_row_gather
@@ -249,13 +257,8 @@ class FullEvaluator:
             cols, mask = csr_row_gather(data.exclude_csr, u_idxs)
             _, topk_idx, ok = sharded_masked_topk_dot(
                 u_repr, items, cols, mask, k_max, mesh, interpret=interpret)
-            hits = csr_contains_rows(data.pos_csr, u_idxs,
-                                     topk_idx).astype(jnp.float32)
-            n_pos = (data.pos_csr.indptr[u_idxs + 1]
-                     - data.pos_csr.indptr[u_idxs])
-            return (user_metrics_from_hits(hits, n_pos, ks,
-                                           metrics=tuple(self._user_metrics)),
-                    coverage_flags(topk_idx, ks, n_catalog), ok)
+            metrics, cov = self._metrics_from_topk(topk_idx, u_idxs)
+            return metrics, cov, ok
 
         return eval_batch
 

@@ -112,7 +112,7 @@ def _tower_kwargs(conf: ExperimentConfig) -> dict:
 
 def _make_run_mesh(conf: ExperimentConfig):
     """Resolve conf.parallel into a device mesh (None on single-device runs)
-    and reconcile batch sizes with the mesh's data-axis multiple — the wiring
+    and reconcile batch sizes with the mesh's device multiple — the wiring
     that makes a stock config on a v5e-8 run data-parallel + catalog-sharded
     (SURVEY.md §2.9; the reference has no distributed execution at all)."""
     from sibrar_tpu.parallel.mesh import (
@@ -129,14 +129,14 @@ def _make_run_mesh(conf: ExperimentConfig):
         if not conf.parallel.adjust_batch_sizes:
             raise ValueError(
                 f"loader.batch_size={conf.loader.batch_size} does not divide "
-                f"over the mesh data axis ({mult}); set "
+                f"over the mesh ({mult} devices); set "
                 f"parallel.adjust_batch_sizes or fix the batch size")
         import logging
 
         new = pad_to_multiple(conf.loader.batch_size, mult)
         logging.getLogger(__name__).info(
-            "rounding loader.batch_size %d → %d to divide over the %d-way "
-            "data axis", conf.loader.batch_size, new, mult)
+            "rounding loader.batch_size %d → %d to divide over the "
+            "%d-device mesh", conf.loader.batch_size, new, mult)
         conf.loader.batch_size = new
     return mesh
 

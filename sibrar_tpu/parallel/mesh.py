@@ -183,6 +183,39 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 
 # --------------------------------------------------------------------- topk merge
+def _merge_local_topk(v, i, k: int, kk: int, local_c: int, ok=None):
+    """Inside-shard_map candidate merge shared by every distributed top-k:
+    globalize the local indices, pad kk→k so the gathered layout is uniform,
+    all-gather the tiny [local_b, k] candidate sets over the item axis, and
+    re-select top-k. The index merge is an integer one-hot contraction — a
+    take_along_axis lane gather scalarizes at ~20 ns/element on TPU, and a
+    float einsum would ride the MXU's lossy bf16 passes (indices must stay
+    bit-exact). ``ok`` per-row flags, when given, AND-reduce across shards."""
+    shard_id = jax.lax.axis_index(ITEM_AXIS)
+    i = i + shard_id * local_c
+    if kk < k:
+        v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+        i = jnp.pad(i, ((0, 0), (0, k - kk)))
+    v_all = jax.lax.all_gather(v, ITEM_AXIS, axis=1, tiled=True)
+    i_all = jax.lax.all_gather(i, ITEM_AXIS, axis=1, tiled=True)
+    vk, pos = jax.lax.top_k(v_all, k)
+    oh = pos[:, :, None] == jnp.arange(i_all.shape[1], dtype=pos.dtype)
+    idx = jnp.sum(jnp.where(oh, i_all[:, None, :], 0), axis=-1)
+    if ok is None:
+        return vk, idx
+    ok = jnp.min(jax.lax.all_gather(ok.astype(jnp.int32), ITEM_AXIS,
+                                    axis=0), axis=0).astype(bool)
+    return vk, idx, ok
+
+
+def _local_exclusions(cols, mask, local_c: int):
+    """Filter global exclusion columns down to this shard's local slice."""
+    shard_id = jax.lax.axis_index(ITEM_AXIS)
+    lc = cols - shard_id * local_c
+    lmask = mask & (lc >= 0) & (lc < local_c)
+    return jnp.where(lmask, lc, 0), lmask
+
+
 def sharded_topk(
     scores: jax.Array,  # [B, C] sharded as P(None, ITEM_AXIS)
     k: int,
@@ -216,22 +249,7 @@ def sharded_topk(
         # exact windowed top-k per shard (falls back to lax.top_k when the
         # local slice is too small for windowing to pay)
         v, i = windowed_topk(s, kk)
-        shard_id = jax.lax.axis_index(ITEM_AXIS)
-        i = i + shard_id * local_c
-        if kk < k:  # pad so the gathered layout is uniform
-            pad = k - kk
-            v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-            i = jnp.pad(i, ((0, 0), (0, pad)))
-        # gather candidates from every item shard: [B, n_shards*k]
-        v_all = jax.lax.all_gather(v, ITEM_AXIS, axis=1, tiled=True)
-        i_all = jax.lax.all_gather(i, ITEM_AXIS, axis=1, tiled=True)
-        vk, pos = jax.lax.top_k(v_all, k)
-        # integer one-hot contraction: a take_along_axis lane gather
-        # scalarizes at ~20 ns/element on TPU (and a float einsum would ride
-        # the MXU's lossy bf16 passes — indices must stay bit-exact)
-        oh = pos[:, :, None] == jnp.arange(i_all.shape[1], dtype=pos.dtype)
-        idx = jnp.sum(jnp.where(oh, i_all[:, None, :], 0), axis=-1)
-        return vk, idx
+        return _merge_local_topk(v, i, k, kk, local_c)
 
     fn = jax.shard_map(
         local_topk,
@@ -311,10 +329,7 @@ def sharded_masked_topk(
     tb = min(256, -(-local_b // 8) * 8)
 
     def local_fn(s, cols, mask):  # s: [local_b, local_c]
-        shard_id = jax.lax.axis_index(ITEM_AXIS)
-        lc = cols - shard_id * local_c
-        lmask = mask & (lc >= 0) & (lc < local_c)
-        lc = jnp.where(lmask, lc, 0)
+        lc, lmask = _local_exclusions(cols, mask, local_c)
         if use_peel:
             from sibrar_tpu.ops.pallas_peel import peel_masked_topk_scores
 
@@ -325,19 +340,7 @@ def sharded_masked_topk(
             s = scatter_fill_rows(s, lc, lmask, n_cols=local_c, fill=_NEG)
             v, i = windowed_topk(s, kk)
             ok = jnp.ones(s.shape[0], bool)
-        i = i + shard_id * local_c
-        if kk < k:  # pad so the gathered layout is uniform
-            v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
-            i = jnp.pad(i, ((0, 0), (0, k - kk)))
-        v_all = jax.lax.all_gather(v, ITEM_AXIS, axis=1, tiled=True)
-        i_all = jax.lax.all_gather(i, ITEM_AXIS, axis=1, tiled=True)
-        vk, pos = jax.lax.top_k(v_all, k)
-        oh = pos[:, :, None] == jnp.arange(i_all.shape[1], dtype=pos.dtype)
-        idx = jnp.sum(jnp.where(oh, i_all[:, None, :], 0), axis=-1)
-        # AND-reduce the per-row exactness flags across shards
-        ok = jnp.min(jax.lax.all_gather(ok.astype(jnp.int32), ITEM_AXIS,
-                                        axis=0), axis=0).astype(bool)
-        return vk, idx, ok
+        return _merge_local_topk(v, i, k, kk, local_c, ok=ok)
 
     fn = jax.shard_map(
         local_fn,
@@ -421,28 +424,27 @@ def sharded_masked_topk_dot(
     local_b = (b + bpad) // mesh.shape[DATA_AXIS]
     tb = min(256, -(-local_b // 8) * 8)
 
-    def local_fn(lu, li, cols, mask):  # lu: [local_b, D]; li: [local_c, D]
-        shard_id = jax.lax.axis_index(ITEM_AXIS)
-        lc = cols - shard_id * local_c
-        lmask = mask & (lc >= 0) & (lc < local_c)
-        lc = jnp.where(lmask, lc, 0)
-        from sibrar_tpu.ops.pallas_peel import peel_masked_topk_dot
+    # per-shard slices inside the fused kernel's VMEM domain (local C ≲ 192k)
+    # ride the fully fused windowed chain — the [local_b, local_c] score
+    # matrix then never exists even per shard; larger slices take the
+    # native-layout GEMM epilogue + chunked peel (same preference order as
+    # the single-chip make_dot_eval_batch)
+    from sibrar_tpu.ops.pallas_peel import peel_viable
 
-        v, i, ok = peel_masked_topk_dot(lu, li, lc, lmask, kk, tb=tb,
-                                        interpret=interpret,
-                                        with_fallback=False)
-        i = i + shard_id * local_c
-        if kk < k:
-            v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
-            i = jnp.pad(i, ((0, 0), (0, k - kk)))
-        v_all = jax.lax.all_gather(v, ITEM_AXIS, axis=1, tiled=True)
-        i_all = jax.lax.all_gather(i, ITEM_AXIS, axis=1, tiled=True)
-        vk, pos = jax.lax.top_k(v_all, k)
-        oh = pos[:, :, None] == jnp.arange(i_all.shape[1], dtype=pos.dtype)
-        idx = jnp.sum(jnp.where(oh, i_all[:, None, :], 0), axis=-1)
-        ok = jnp.min(jax.lax.all_gather(ok.astype(jnp.int32), ITEM_AXIS,
-                                        axis=0), axis=0).astype(bool)
-        return vk, idx, ok
+    e_local = excl_cols.shape[1]
+    fused_ok = peel_viable(local_c, kk, e_local, fused=True)
+
+    def local_fn(lu, li, cols, mask):  # lu: [local_b, D]; li: [local_c, D]
+        lc, lmask = _local_exclusions(cols, mask, local_c)
+        from sibrar_tpu.ops.pallas_peel import (
+            peel_masked_topk,
+            peel_masked_topk_dot,
+        )
+
+        fn = peel_masked_topk if fused_ok else peel_masked_topk_dot
+        v, i, ok = fn(lu, li, lc, lmask, kk, tb=tb, interpret=interpret,
+                      with_fallback=False)
+        return _merge_local_topk(v, i, k, kk, local_c, ok=ok)
 
     fn = jax.shard_map(
         local_fn,

@@ -301,3 +301,19 @@ def test_dot_fast_path_scores_variant_past_fused_gate(monkeypatch):
     got = ev2.get_results()
     for key in ("val/ndcg@10", "val/recall@10", "val/coverage@10"):
         np.testing.assert_allclose(got[key], ref[key], atol=1e-6, err_msg=key)
+
+
+def test_explicit_topk_method_pins_scores_path():
+    """An explicit non-peel topk_method must disable the peel-based dot fast
+    paths (single-chip and sharded) so the operator's kernel selection wins."""
+    from sibrar_tpu.config.schema import EvalConfig
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+
+    splits = make_synthetic_splits(n_users=20, n_items=40, n_interactions=300,
+                                   seed=3, with_features=False)
+    val = splits["val"]
+    items = jnp.zeros((val.n_items_in_split, 8), jnp.float32)
+    ev = FullEvaluator(EvalConfig(top_k=[5], topk_method="scatter"), val)
+    assert ev.make_dot_eval_batch(lambda u: None, items,
+                                  interpret=True) is None

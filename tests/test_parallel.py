@@ -413,3 +413,42 @@ def test_chunked_item_repr_sharded_matches_default():
     for k in whole:
         np.testing.assert_allclose(whole[k], chunked[k], rtol=1e-5,
                                    atol=1e-6, err_msg=k)
+
+
+def test_evaluate_model_sharded_dot_driver_end_to_end():
+    """The FULL fused whole-eval driver (lax.map over batches) running the
+    sharded dot chain (shard_map + Pallas peel per tile, interpret mode):
+    metrics equal the single-device run. This is the production codepath a
+    v5e-8 takes for dot models — without this test its first execution
+    would be on real hardware."""
+    from sibrar_tpu.config.schema import EvalConfig
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator, evaluate_model
+
+    mesh = make_mesh(8)
+    splits = make_synthetic_splits(n_users=32, n_items=6001,
+                                   n_interactions=700, seed=9,
+                                   with_features=False)
+    val = splits["val"]
+    c = val.n_items_in_split
+    rng = np.random.default_rng(5)
+    u_mat = jnp.asarray(rng.standard_normal((val.n_users, 8)).astype(np.float32))
+    items = jnp.asarray(rng.standard_normal((c, 8)).astype(np.float32))
+
+    def score_fn(u):
+        return u_mat[u] @ items.T
+
+    score_fn.dot_parts = (lambda u: u_mat[u], items)
+
+    def run(mesh_arg, interp):
+        ev = FullEvaluator(EvalConfig(top_k=[5, 10]), val,
+                           evaluator_name="val", mesh=mesh_arg)
+        ev.dot_interpret = interp
+        return evaluate_model(score_fn, ev, batch_size=16)
+
+    sharded = run(mesh, True)
+    plain = run(None, False)  # CPU single-device: generic scores path
+    assert plain.keys() == sharded.keys()
+    for k in plain:
+        np.testing.assert_allclose(plain[k], sharded[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
