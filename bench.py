@@ -18,7 +18,10 @@
 Baseline framing (honest): `vs_baseline` compares against the same semantic
 chain in eager torch on the in-image **CPU** build — the reference's GPU
 numbers are unpublished (SURVEY.md §6). Absolute numbers are what count:
-per-step milliseconds for both hot paths are in `extras`.
+per-step milliseconds for both hot paths are in `extras`, including the
+Onion-scale C=500k point through both the generic scores chain
+(`eval_large_*`) and the evaluator's fused dot fast path
+(`eval_large_dot_*`).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
