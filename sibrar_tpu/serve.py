@@ -55,7 +55,8 @@ class Recommender:
     def __init__(self, score_fn: Callable, dataset: RecDataset,
                  device_data: Optional[DeviceData] = None, *,
                  k: int = 100, batch_size: int = 256,
-                 exclude_seen: bool = True, mesh=None):
+                 exclude_seen: bool = True, mesh=None,
+                 dot_interpret: bool = False):
         self.dataset = dataset
         self.data = device_data if device_data is not None else dataset.to_device()
         self.k = min(k, dataset.n_items_in_split)
@@ -63,6 +64,9 @@ class Recommender:
         self.exclude_seen = exclude_seen
         self.score_fn = score_fn
         self.mesh = mesh
+        # test hook: run the Pallas kernels in interpret mode (CI covers the
+        # mesh dot path on the virtual CPU mesh)
+        self.dot_interpret = dot_interpret
         self._catalog_items = np.asarray(dataset.items_in_split)
         self._step = self._build_step()
 
@@ -84,26 +88,36 @@ class Recommender:
         dot_parts = getattr(score_fn, "dot_parts", None)
 
         if self.mesh is not None and self.mesh.shape.get("item", 1) > 1:
-            # multi-chip serving: catalog sharded over the item axis, the
-            # same per-shard exclusion + selection + tiny [B, k] candidate
-            # merge the evaluator uses (`parallel.mesh.sharded_masked_topk`);
-            # the fallback-free per-shard scatter chain keeps every request
-            # exact with no redo logic.
+            # multi-chip serving: catalog sharded over the item axis with the
+            # evaluator's per-shard selection + tiny [B, k] candidate merge.
+            # Dot models ride the per-shard fused GEMM→peel chain
+            # (`sharded_masked_topk_dot`) with an eager scatter redo when a
+            # peel exactness flag trips (serving is eager, so the one host
+            # sync per batch is the cheap place to branch); everything else
+            # takes the fallback-free per-shard scatter chain.
             from sibrar_tpu.ops.sparse import csr_row_gather
-            from sibrar_tpu.parallel.mesh import sharded_masked_topk
+            from sibrar_tpu.parallel.mesh import (
+                sharded_dot_viable,
+                sharded_masked_topk,
+                sharded_masked_topk_dot,
+            )
 
             mesh = self.mesh
             n_catalog = self.dataset.n_items_in_split
             n_shards = mesh.shape["item"]
             pad = (-n_catalog) % n_shards
+            e = csr.max_row_len
 
-            def step(u_idxs):
-                scores = score_fn(u_idxs)
+            def _excl(u_idxs):
                 if csr.max_row_len:
-                    cols, mask = csr_row_gather(csr, u_idxs)
-                else:  # no exclusions: a single always-masked column
-                    cols = jnp.zeros((u_idxs.shape[0], 1), jnp.int32)
-                    mask = jnp.zeros((u_idxs.shape[0], 1), bool)
+                    return csr_row_gather(csr, u_idxs)
+                # no exclusions: a single always-masked column
+                return (jnp.zeros((u_idxs.shape[0], 1), jnp.int32),
+                        jnp.zeros((u_idxs.shape[0], 1), bool))
+
+            def scatter_step(u_idxs):
+                scores = score_fn(u_idxs)
+                cols, mask = _excl(u_idxs)
                 if pad:
                     scores = jnp.pad(scores, ((0, 0), (0, pad)),
                                      constant_values=-1e30)
@@ -114,7 +128,22 @@ class Recommender:
                 # gather in `recommend` stays in range
                 return v, jnp.minimum(i, n_catalog - 1)
 
-            return jax.jit(step)
+            interp = self.dot_interpret
+            if dot_parts is not None and sharded_dot_viable(
+                    n_catalog, k, max(e, 1), mesh, interpret=interp):
+                user_repr_fn, items = dot_parts
+                self._redo_step = jax.jit(scatter_step)
+
+                def step(u_idxs):
+                    u_repr = user_repr_fn(u_idxs)
+                    cols, mask = _excl(u_idxs)
+                    v, i, ok = sharded_masked_topk_dot(
+                        u_repr, items, cols, mask, k, mesh, interpret=interp)
+                    return v, i, ok
+
+                return jax.jit(step)
+
+            return jax.jit(scatter_step)
 
         use_dot = False
         if dot_parts is not None and jax.default_backend() == "tpu":
@@ -173,7 +202,17 @@ class Recommender:
             users = np.concatenate([users, np.repeat(users[-1:], pad)])
         vals, idxs = [], []
         for start in range(0, len(users), bs):
-            v, i = self._step(jnp.asarray(users[start:start + bs]))
+            batch = jnp.asarray(users[start:start + bs])
+            out = self._step(batch)
+            if len(out) == 3:  # mesh dot path: peel exactness flags
+                v, i, ok = out
+                if not bool(jnp.all(ok)):
+                    # rare: redo this batch with the fallback-free per-shard
+                    # scatter chain (serving is eager, so branching here
+                    # costs one host sync only on the batch that tripped)
+                    v, i = self._redo_step(batch)
+            else:
+                v, i = out
             vals.append(v)
             idxs.append(i)
         v = np.asarray(jnp.concatenate(vals))[:n, :k]

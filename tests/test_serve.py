@@ -180,3 +180,27 @@ def test_recommend_mesh_odd_catalog_exhausted_rows():
     ids = rec.recommend(users)  # k == full catalog > any unseen count
     assert ids.shape == (len(users), rec.k)
     assert set(ids.ravel()) <= set(np.asarray(val.items_in_split))
+
+
+def test_recommend_mesh_dot_path_matches_single_device():
+    """Mesh serving for dot models rides the per-shard fused GEMM→peel chain
+    (interpret mode in CI): lists identical to the single-device recommender,
+    ok-flag redo machinery in place."""
+    from sibrar_tpu.parallel.mesh import make_mesh
+
+    sp = make_synthetic_splits(n_users=16, n_items=6001, n_interactions=500,
+                               seed=8)
+    val = sp["val"]
+    c = val.n_items_in_split
+    score_fn, _, _ = _dot_score_fn(val.n_users, c, seed=4)
+    mesh = make_mesh(8, item_parallelism=2)
+    sharded = Recommender(score_fn, val, k=10, batch_size=8, mesh=mesh,
+                          dot_interpret=True)
+    # the dot step (3-tuple with ok flags) was actually selected
+    assert hasattr(sharded, "_redo_step")
+    plain = Recommender(score_fn, val, k=10, batch_size=8)
+    users = np.asarray(val.users_in_split)[:12]
+    ids_s, sc_s = sharded.recommend(users, return_scores=True)
+    ids_p, sc_p = plain.recommend(users, return_scores=True)
+    np.testing.assert_allclose(sc_p, sc_s, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(ids_p, ids_s)
