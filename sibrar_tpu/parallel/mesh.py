@@ -52,7 +52,16 @@ def make_mesh(
             item_parallelism *= 2
     if n % item_parallelism:
         raise ValueError(f"{n} devices not divisible by item_parallelism={item_parallelism}")
-    grid = np.asarray(devs).reshape(n // item_parallelism, item_parallelism)
+    shape = (n // item_parallelism, item_parallelism)
+    try:
+        # topology-aware placement: keeps each logical axis on contiguous
+        # ICI rings (a naive reshape can split an axis across the torus and
+        # push its collectives onto longer paths / DCN on multi-host pods)
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_device_mesh(shape, devices=devs)
+    except Exception:  # virtual/CPU platforms without topology info
+        grid = np.asarray(devs).reshape(shape)
     return Mesh(grid, (DATA_AXIS, ITEM_AXIS))
 
 
