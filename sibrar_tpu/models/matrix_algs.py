@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import math
 import os
-from functools import partial
 from typing import Callable, Optional
 
 import jax
