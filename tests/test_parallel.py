@@ -452,3 +452,51 @@ def test_evaluate_model_sharded_dot_driver_end_to_end():
     for k in plain:
         np.testing.assert_allclose(plain[k], sharded[k], rtol=1e-5,
                                    atol=1e-6, err_msg=k)
+
+
+def test_sharded_masked_topk_fuzz_panel():
+    """Seeded fuzz over the 2-D-sharded selection: random B (incl. not
+    dividing the data axis), odd catalogs, exclusion widths, tie-heavy and
+    clustered score distributions — both the scatter chain and the
+    interpret-mode per-shard peel must match the dense oracle."""
+    from sibrar_tpu.parallel.mesh import sharded_masked_topk
+
+    mesh = make_mesh(8)  # data=4, item=2
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        b = int(rng.integers(2, 14))
+        c = int(rng.integers(700, 3000))
+        k = int(rng.integers(1, 30))
+        e = int(rng.integers(1, 40))
+        if c % 2:
+            c += 1  # catalog must divide the item axis for this API
+        dist = trial % 3
+        if dist == 0:
+            s = rng.standard_normal((b, c))
+        elif dist == 1:
+            s = rng.integers(-4, 4, size=(b, c)).astype(float)  # ties
+        else:
+            s = rng.standard_normal((b, c))
+            s[:, : c // 3] += 8.0  # clustered winners on one shard
+        s = s.astype(np.float32)
+        cols = np.stack([np.sort(rng.choice(c, size=e, replace=False))
+                         for _ in range(b)]).astype(np.int32)
+        mask = rng.random((b, e)) < 0.9
+        dense = s.copy()
+        for r in range(b):
+            dense[r, cols[r][mask[r]]] = -1e30
+        ref_v, _ = jax.lax.top_k(jnp.asarray(dense), k)
+        msg = f"trial {trial}: b={b} c={c} k={k} e={e} dist={dist}"
+        for kwargs in ({"use_peel": False, "return_ok": True},
+                       {"use_peel": True, "return_ok": True,
+                        "interpret": True}):
+            v, i, ok = sharded_masked_topk(
+                jnp.asarray(s), jnp.asarray(cols), jnp.asarray(mask), k,
+                mesh, **kwargs)
+            if kwargs["use_peel"] and not np.asarray(ok).all():
+                continue  # legitimate redo signal on degenerate ties
+            np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                                       rtol=1e-6, err_msg=msg + str(kwargs))
+            np.testing.assert_allclose(
+                np.take_along_axis(dense, np.asarray(i), 1),
+                np.asarray(ref_v), rtol=1e-6, err_msg=msg + str(kwargs))
