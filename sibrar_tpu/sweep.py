@@ -63,6 +63,19 @@ def _sample_value(rng: np.random.Generator, spec: Any):
     raise ValueError(f"cannot sample from parameter spec {spec!r}")
 
 
+def _apply_param(conf_dict: dict[str, Any], key: str, value: Any) -> None:
+    """Apply one sampled parameter. Keys starting with ``_paired`` carry a
+    DICT of dotted-key overrides applied together — the local-engine analog
+    of the reference's covarying CLI params (e.g. its naive-baseline sweeps
+    vary ``split_type`` across runs, which here must move the artifact
+    ``dataset.dataset_path`` in lockstep)."""
+    if key.startswith("_paired") and isinstance(value, dict):
+        for k2, v2 in value.items():
+            update_nested_dict(conf_dict, k2, v2)
+    else:
+        update_nested_dict(conf_dict, key, value)
+
+
 def _grid_points(parameters: dict[str, Any]) -> list[dict[str, Any]]:
     import itertools
 
@@ -103,7 +116,7 @@ def run_sweep(sweep: SweepConfig, results_base: str,
         conf_dict = copy.deepcopy(sweep.base_config)
         conf_dict = extend_by_base_configs(conf_dict)
         for key, value in params.items():
-            update_nested_dict(conf_dict, key, value)
+            _apply_param(conf_dict, key, value)
         run_id = generate_id(postfix=f"t{trial_offset + t}")
         conf_dict["run_id"] = run_id
         conf_dict["results_path"] = os.path.join(results_base, run_id)

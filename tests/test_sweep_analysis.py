@@ -54,6 +54,32 @@ def test_run_sweep_orders_and_prunes(tmp_path):
     assert os.path.exists(tmp_path / "sweep_state.yml")
 
 
+def test_run_sweep_paired_parameters(tmp_path):
+    """`_paired*` keys carry dicts of dotted overrides applied together —
+    how the naive-baseline grid sweeps move split_type and the artifact
+    path in lockstep (reference sweeps vary split_type as a W&B param)."""
+    sweep = SweepConfig(
+        method="grid", metric="val/ndcg@10",
+        parameters={"_paired_split": {"values": [
+            {"split_type": "random",
+             "dataset.dataset_path": "/data/x/random_split"},
+            {"split_type": "cold_start_item",
+             "dataset.dataset_path": "/data/x/cold_start_item"},
+        ]}},
+        base_config={"algorithm": "pop"})
+    seen = []
+
+    def fake_run(conf):
+        os.makedirs(conf.results_path, exist_ok=True)
+        seen.append((conf.split_type.value, conf.dataset.dataset_path))
+        return {"val/ndcg@10": 0.0}, {}
+
+    run_sweep(sweep, str(tmp_path), run_fn=fake_run)
+    assert sorted(seen) == [
+        ("cold_start_item", "/data/x/cold_start_item"),
+        ("random", "/data/x/random_split")]
+
+
 def test_sweep_cli_end_to_end(tmp_path):
     """Real mini-sweep over MF on artifacts through the sweep agent CLI."""
     import sweep_agent
