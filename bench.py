@@ -44,7 +44,8 @@ D = 256          # representation dim
 K = 100          # max metric cutoff
 EXCL = 64        # excluded (train) items per user
 ITERS = 30
-ITERS_LARGE = 8
+ITERS_LARGE = 25  # 8 left ~48 ms of tunnel dispatch-pipeline fill unamortized
+                  # (+4 ms/step vs tools/probe_dot_large.py's 25-iter number)
 
 # train-step bench scale (SBNet flagship, Onion18-like shapes)
 TR_USERS = 12_000
