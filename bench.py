@@ -100,13 +100,14 @@ def bench_jax() -> tuple[float, float]:
 
 
 def bench_jax_fused() -> float:
-    """The fully fused matmul→top-k variant (`peel_masked_topk`): the [B, C]
-    score matrix never materializes. This is the path dot-product models take
-    through the evaluator (`eval/evaluator.make_dot_eval_batch`)."""
+    """The fused matmul→top-k variant (`peel_masked_topk_dot`: one GEMM pass
+    writes scores + window maxima, chunked sorted-run peel selects). This is
+    the path dot-product models take through the evaluator
+    (`eval/evaluator.make_dot_eval_batch`)."""
     import jax
     import jax.numpy as jnp
 
-    from sibrar_tpu.ops.pallas_peel import peel_masked_topk
+    from sibrar_tpu.ops.pallas_peel import peel_masked_topk_dot
 
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
@@ -117,7 +118,7 @@ def bench_jax_fused() -> float:
 
     @jax.jit
     def step(u):
-        return peel_masked_topk(u, it, cols, mask, K)
+        return peel_masked_topk_dot(u, it, cols, mask, K)
 
     v, i = step(u)
     v.block_until_ready()

@@ -163,12 +163,14 @@ class FullEvaluator:
 
     def make_dot_eval_batch(self, user_repr_fn, items, interpret: bool = False):
         """Fused matmul→exclusion→top-k eval batch for plain dot-product
-        models: the [B, C] score matrix never materializes (score_windows MXU
-        epilogue + peel selection, `ops/pallas_peel.peel_masked_topk` —
-        measured 6.4 ms vs 7.6 ms through the scores path at B=1024/C=100k
-        on v5e). Returns None when the fast path doesn't apply (sharded
-        catalog, non-TPU backend, unviable margins) — callers then fall back
-        to the generic scores path."""
+        models: one GEMM pass writes the [B, C] scores AND their window
+        maxima (`score_native_wmax` epilogue), then the chunked sorted-run
+        peel selects (`ops/pallas_peel.peel_masked_topk_dot` — 4.81 ms vs
+        the generic scores chain's ~5.4 at B=1024/C=100k/E=64 on v5e, and
+        15.3 vs 14.5-17.7 at C=500k). Returns None when the fast path
+        doesn't apply (sharded catalog handled separately, non-TPU backend,
+        unviable margins) — callers then fall back to the generic scores
+        path."""
         import jax as _jax
 
         # an explicit scatter/full/noscatter topk_method pins the scores
@@ -185,7 +187,6 @@ class FullEvaluator:
         if _jax.default_backend() != "tpu" and not interpret:
             return None
         from sibrar_tpu.ops.pallas_peel import (
-            peel_masked_topk,
             peel_masked_topk_dot,
             peel_viable,
         )
@@ -195,13 +196,15 @@ class FullEvaluator:
         if items.shape[0] != n_catalog:
             return None
         e = data.exclude_csr.max_row_len
-        fused_ok = peel_viable(n_catalog, self.k_max, e, fused=True)
-        # catalogs past the fused kernel's VMEM gate (C ≳ 192k) still ride
-        # the fast path: the native-layout GEMM epilogue writes [B, C]
-        # scores + window maxima in one pass and selection runs the chunked
-        # sorted-run peel (peel_masked_topk_dot — bitwise-identical scores
-        # to the XLA matmul, no C limit)
-        if not fused_ok and not peel_viable(n_catalog, self.k_max, e):
+        # one kernel at every catalog scale: the native-layout GEMM epilogue
+        # writes [B, C] scores + window maxima in one pass and selection
+        # runs the chunked sorted-run peel (peel_masked_topk_dot — bitwise
+        # identical scores to the XLA matmul, no C limit). The windowed-
+        # tiling variant (peel_masked_topk) was re-measured r3 at t=8 and
+        # lost at its own home scale (5.58 ms vs 4.81 at B=1024/C=100k,
+        # E=64): its [NW, B, W] plane gather never gained the sublane-
+        # rounding/sorted-run wins of the scores-path chain.
+        if not peel_viable(n_catalog, self.k_max, e):
             return None
         k_max = self.k_max
 
@@ -211,15 +214,10 @@ class FullEvaluator:
             u_repr = user_repr_fn(u_idxs)
             cols, mask = csr_row_gather(data.exclude_csr, u_idxs)
             tb = min(256, -(-u_idxs.shape[0] // 8) * 8)
-            if fused_ok:
-                _, topk_idx, ok = peel_masked_topk(
-                    u_repr, items, cols, mask, k_max, tb=tb,
-                    interpret=interpret,
-                    with_fallback=False)  # not-ok batches redone by the driver
-            else:
-                _, topk_idx, ok = peel_masked_topk_dot(
-                    u_repr, items, cols, mask, k_max, tb=tb,
-                    interpret=interpret, with_fallback=False)
+            _, topk_idx, ok = peel_masked_topk_dot(
+                u_repr, items, cols, mask, k_max, tb=tb,
+                interpret=interpret,
+                with_fallback=False)  # not-ok batches redone by the driver
             metrics, cov = self._metrics_from_topk(topk_idx, u_idxs)
             return metrics, cov, ok
 

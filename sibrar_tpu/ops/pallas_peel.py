@@ -61,7 +61,17 @@ hardware parity checks bit-exact):
   maxima + one-hot masks), no retile (windows gathered straight off [B, C]
   with `pl.multiple_of`-aligned dynamic lane slices); 8.4 ms at E=250;
 - fused matmul→top-k (`peel_masked_topk`, t=12): **6.1 ms**
-  (16.9e9 items/s).
+  (16.9e9 items/s);
+- r3 sublane-rounded m + lane-reduced completeness + t=8 default:
+  scores chain 5.40 ms at C=100k / 14.8 ms at C=501760, fused 5.58 ms.
+
+Peel depth default (t=8, measured sweep in tools/probe_t.py): t=12→8→6→4
+gives 5.98/5.58/5.32/5.16 ms fused at C=100k and 15.7/14.0/13.5/13.5 ms
+for the 500k dot chain, but t=4 already trips completeness on 6/1024
+RANDOM rows, and a simulated popularity-clustered catalog (zipf boost on
+low ids — the realistic failure mode, item ids follow debut order) shows
+per-user max window occupancy up to 7 at C=100k. t=8 keeps ≥1 slot of
+margin over that worst case while giving up ≤0.4 ms vs t=4.
 """
 from __future__ import annotations
 
@@ -81,12 +91,14 @@ _PEELED = float("-inf")  # strictly below any live score incl. the -1e30 mask
 # reductions get expensive; fall back to the +E window margin there.
 _CORR_MAX_E = 512
 
-# The corrected-wmax pass costs one extra full [B, C] read (its gather loads
-# every chunk). At large catalogs that read dominates the +E-margin
-# alternative (bigger peel + merged top-k over (k+E)·t instead of (k+1)·t —
-# all tiny), so beyond this per-row byte size the margin path wins whenever
-# E is moderate (v5e, C=501760/E=64: corrected path 30.3 ms/step — one of
-# its ~four full-matrix HBM passes is the correction gather).
+# Beyond this per-row byte size the +E margin path beats the corrected-wmax
+# pass. Re-measured r3 AFTER the correction gather learned the sorted-run
+# chunked path (tools/probe_corr.py, v5e, C=501760/E=64/t=8): corrected
+# 16.6 ms vs margin 13.8 ms — the gather is no longer the problem (it rides
+# the same runs kernel as the main gather); what remains is the splice
+# itself, whose [B, E, NW] match/where broadcasts scale with the window
+# count (≈0.26 G element-ops per mask at NW=3920) and outgrow the margin
+# path's wider sort + peel (both ∝ E but NW-independent).
 _CORR_MAX_ROW_BYTES = 1 << 20
 
 
@@ -514,20 +526,46 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
         # every downstream stage shrinks by ~E/k, and peel viability stops
         # depending on user-history length.
         excl_w = jnp.where(excl_mask, excl_cols // w, nw)  # nw: no window
-        ge = gather_fn(jnp.where(excl_mask, excl_cols // w, 0),
-                       sorted_rows=False)  # [B, E, W]
-        same_w = ((excl_w[:, None, :] == excl_w[:, :, None])
-                  & excl_mask[:, None, :]).astype(jnp.float32)  # [B, E, E]
+        # Sort the per-row window keys (pads carry the sentinel nw, sorting
+        # past every real window) so the correction gather rides the chunked
+        # kernel's sorted-run fast path REGARDLESS of pad placement — shard-
+        # local exclusion masks interleave pads (parallel/mesh._local_
+        # exclusions), so trailing-pad order can't be assumed. A lane sort
+        # of [B, E] int32 is VPU-cheap; no argsort/take_along_axis (which
+        # scalarizes) is needed because slot→entry pairing happens through
+        # the same one-hot contraction that builds the dead-lane masks.
+        key = jnp.sort(excl_w, axis=1)  # [B, E] ascending, pads last
+        ge = gather_fn(jnp.minimum(key, nw - 1), sorted_rows=True)  # [B,E,W]
+        # dead lanes of sorted slot s: any excluded col whose window is the
+        # slot's window (pads never match: key==nw has no excl_w pair with
+        # excl_mask set... excl_w==nw pairs ONLY with pad slots, and those
+        # are masked out of the splice below via key < nw)
+        slot_w = ((excl_w[:, :, None] == key[:, None, :])
+                  & excl_mask[:, :, None]).astype(jnp.float32)  # [B, E, Es]
         oh_le = (excl_cols[:, :, None] % w
                  == jnp.arange(w, dtype=jnp.int32)).astype(jnp.float32)
-        dead_e = jnp.einsum("bef,bfl->bel", same_w, oh_le) > 0.0
-        corr = jnp.where(dead_e, _PEELED, ge).max(-1)  # [B, E]
-        match = excl_w[:, :, None] == jnp.arange(nw, dtype=jnp.int32)
+        dead_e = jnp.einsum("bes,bel->bsl", slot_w, oh_le) > 0.0
+        corr = jnp.where(dead_e, _PEELED, ge).max(-1)  # [B, Es]
+        match = key[:, :, None] == jnp.arange(nw, dtype=jnp.int32)
         corr_b = jnp.max(jnp.where(match, corr[:, :, None], _NEG), axis=1)
         wmax = jnp.where(match.any(axis=1), corr_b, wmax)
         m = _round_m(k + (1 if padded else 0), nw)  # exact maxima: no margin
     else:
         m = _round_m(k + e + (1 if padded else 0), nw)
+    # Adaptive peel depth: the t=8 default is a STATISTICAL margin that only
+    # holds when the top-k spreads over many windows (measured worst-case
+    # per-user window occupancy 7 at C=100k, even popularity-clustered). At
+    # small window counts — tiny catalogs or per-shard slices of an item-
+    # sharded mesh — one window can hold most of the top-k, so deepen toward
+    # the t >= k completeness guarantee (3·k/nw reaches it exactly where a
+    # 3x-of-expected occupancy no longer fits the default). Cost is ∝ m·t
+    # and m is small exactly when nw is, so the deep rounds stay cheap.
+    # Count LIVE windows only: catalog padding to the chunk size can append
+    # fully-dead windows (nw_real=2 vs nw=8 at c_real=256, bc=1024) that
+    # never hold a winner and must not dilute the occupancy estimate.
+    kk0 = min(k, c_real)
+    nw_real = -(-c_real // w)
+    t = max(t, min(-(-3 * kk0) // nw_real, kk0))
     t = min(t, w)
 
     _, widx = lax.top_k(wmax, m)  # [B, m] raw-max window selection
@@ -625,7 +663,7 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
 
 def peel_topk_windows(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
                       excl_mask: jax.Array, k: int, c_real: int, *,
-                      t: int = 12, interpret: bool = False,
+                      t: int = 8, interpret: bool = False,
                       with_fallback: bool = True, b_real: int | None = None):
     """Exact top-k (+ per-user exclusion) from [NW, B, W] windowed scores
     (the `score_windows` fused-matmul layout) via value peeling."""
@@ -644,7 +682,7 @@ def peel_topk_windows(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
 
 def peel_topk_from_scores(scores: jax.Array, excl_cols: jax.Array,
                           excl_mask: jax.Array, k: int, c_real: int, *,
-                          window: int = 128, t: int = 12,
+                          window: int = 128, t: int = 8,
                           interpret: bool = False,
                           with_fallback: bool = True,
                           b_real: int | None = None,
@@ -686,7 +724,7 @@ def _pad_excl(excl_cols, excl_mask, b, bp):
                                     "with_fallback"))
 def peel_masked_topk_scores(scores: jax.Array, excl_cols: jax.Array | None,
                             excl_mask: jax.Array | None, k: int, *,
-                            t: int = 12, window: int = 128, tb: int = 256,
+                            t: int = 8, window: int = 128, tb: int = 256,
                             bc: int = 1024, interpret: bool = False,
                             with_fallback: bool = True):
     """Exclusion + exact top-k over a precomputed [B, C] score matrix —
@@ -713,7 +751,7 @@ def peel_masked_topk_scores(scores: jax.Array, excl_cols: jax.Array | None,
 def peel_masked_topk_dot(u: jax.Array, items: jax.Array,
                          excl_cols: jax.Array | None,
                          excl_mask: jax.Array | None,
-                         k: int, *, t: int = 12, window: int = 128,
+                         k: int, *, t: int = 8, window: int = 128,
                          tb: int = 256, bc: int = 1024,
                          interpret: bool = False,
                          with_fallback: bool = True):
@@ -760,7 +798,7 @@ def peel_masked_topk_dot(u: jax.Array, items: jax.Array,
                                     "with_fallback"))
 def peel_masked_topk(u: jax.Array, items: jax.Array,
                      excl_cols: jax.Array | None, excl_mask: jax.Array | None,
-                     k: int, *, t: int = 12, window: int = 128, tb: int = 256,
+                     k: int, *, t: int = 8, window: int = 128, tb: int = 256,
                      bc: int = 1024, interpret: bool = False,
                      with_fallback: bool = True):
     """Fused dot-product scores + exclusion + exact top-k: the [B, C] score
@@ -790,7 +828,7 @@ def peel_masked_topk(u: jax.Array, items: jax.Array,
 
 
 def peel_viable(c: int, k: int, e: int, *, window: int = 128,
-                t: int = 12, fused: bool = False) -> bool:
+                t: int = 8, fused: bool = False) -> bool:
     """Static dispatch predicate: peeling wins when the selected window set
     is a small fraction of the catalog. With the corrected-wmax pass the
     margin no longer depends on E (m = k+1) up to ``_CORR_MAX_E``; beyond

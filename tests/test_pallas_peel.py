@@ -428,6 +428,32 @@ def test_sorted_runs_chunked_gather_matches_plain(monkeypatch):
     np.testing.assert_array_equal(np.asarray(g_runs), np.asarray(g_plain))
 
 
+def test_corrected_wmax_chunked_gather_interleaved_pads(monkeypatch):
+    """The corrected-wmax correction gather rides the sorted-run CHUNKED
+    kernel. Shard-local exclusion masks interleave pads among the real
+    entries (parallel/mesh._local_exclusions puts zeros both before and
+    after the in-shard columns), so the correction must sort its window
+    keys itself — a trailing-pad assumption would mis-copy runs and
+    silently corrupt the spliced maxima."""
+    import sibrar_tpu.ops.pallas_peel as pp
+
+    monkeypatch.setattr(pp, "_GATHER_VMEM_BYTES", 1 << 14)  # force chunking
+    rng = np.random.default_rng(41)
+    b, c, k, e = 6, 4096, 12, 10
+    assert pp._use_corrected_wmax(c, e)
+    s = rng.normal(size=(b, c)).astype(np.float32)
+    cols = np.stack([np.sort(rng.choice(c, size=e, replace=False))
+                     for _ in range(b)]).astype(np.int32)
+    # interleaved invalidity, masked slots zeroed like mesh._local_exclusions
+    mask = rng.random((b, e)) < 0.6
+    mask[:, 0] = False  # guarantee a leading pad
+    cols = np.where(mask, cols, 0).astype(np.int32)
+    ov, _ = _oracle(jnp.asarray(s), cols, mask, k)
+    v, i = peel_masked_topk_scores(jnp.asarray(s), jnp.asarray(cols),
+                                   jnp.asarray(mask), k, t=8, interpret=True)
+    _check(v, i, s, ov, cols, mask)
+
+
 @pytest.mark.parametrize("b,c,d,e,k,t", [
     (8, 2048, 128, 16, 10, 8),     # aligned
     (5, 1000, 48, 7, 10, 4),       # everything needs padding
