@@ -61,18 +61,24 @@ def _score_windows_kernel(u_ref, it_ref, swt_ref, wmaxt_ref, *, nwb: int,
     # [NW, B, W] output: b stays on sublanes and w on lanes on both sides, so
     # no vreg transposition happens anywhere (a [B, NW, W] target would put b
     # on planes — a sublane->plane relayout Mosaic executes very slowly).
+    cols = []
     for w in range(nwb):
         sl = blk[:, w * window:(w + 1) * window]  # [TB, W], 128-aligned slice
         swt_ref[w, :, :] = sl
-        wmaxt_ref[w, :] = sl.max(axis=1)
+        cols.append(sl.max(axis=1, keepdims=True))
+    # keepdims maxima on lanes + ONE relayout per step (see
+    # _score_native_kernel: per-window sublane->lane stores cost +85%)
+    wmaxt_ref[...] = jnp.concatenate(cols, axis=1).T
 
 
 def _retile_kernel(s_ref, swt_ref, wmaxt_ref, *, nwb: int, window: int):
     blk = s_ref[:]
+    cols = []
     for w in range(nwb):
         sl = blk[:, w * window:(w + 1) * window]
         swt_ref[w, :, :] = sl
-        wmaxt_ref[w, :] = sl.max(axis=1)
+        cols.append(sl.max(axis=1, keepdims=True))
+    wmaxt_ref[...] = jnp.concatenate(cols, axis=1).T
 
 
 def _score_native_kernel(u_ref, it_ref, s_ref, wmaxt_ref, *, nwb: int,
@@ -82,9 +88,16 @@ def _score_native_kernel(u_ref, it_ref, s_ref, wmaxt_ref, *, nwb: int,
     s_ref[...] = blk
     # wmax rows go to SUBLANES of a [NW, B]-transposed output (sublane-row
     # stores are legal; single-lane stores are not) — the 16 MB transpose
-    # back to [B, NW] happens on the XLA side, off the 2 GB hot path
-    for w in range(nwb):
-        wmaxt_ref[w, :] = blk[:, w * window:(w + 1) * window].max(axis=1)
+    # back to [B, NW] happens on the XLA side, off the 2 GB hot path.
+    # CRITICAL spelling (r3, tools/probe_gemm_bisect.py at C=501760): compute
+    # the per-window maxima with keepdims on LANES (users stay on sublanes,
+    # the window_max pattern) and relayout ONCE per grid step — 3.68 ms for
+    # the whole fused GEMM, i.e. XLA-matmul parity, where nwb separate
+    # `wmaxt_ref[w, :] = blk[...].max(axis=1)` stores each pay their own
+    # sublane->lane relayout and drag the kernel to 6.77 ms (+85%).
+    cols = [blk[:, w * window:(w + 1) * window].max(axis=1, keepdims=True)
+            for w in range(nwb)]
+    wmaxt_ref[...] = jnp.concatenate(cols, axis=1).T
 
 
 @functools.partial(jax.jit, static_argnames=("window", "tb", "bc", "interpret"))
