@@ -428,6 +428,57 @@ def test_sorted_runs_chunked_gather_matches_plain(monkeypatch):
     np.testing.assert_array_equal(np.asarray(g_runs), np.asarray(g_plain))
 
 
+def test_approx_window_selection_path_exact(monkeypatch):
+    """Catalogs with NW >= _APPROX_SEL_MIN_NW select windows through
+    lax.approx_max_k + the counting guard. On CPU approx lowers to exact
+    top-k, so this validates the wiring (guard arithmetic, thresh ties,
+    downstream sort/merge) end-to-end against the oracle."""
+    import sibrar_tpu.ops.pallas_peel as pp
+
+    monkeypatch.setattr(pp, "_APPROX_SEL_MIN_NW", 8)  # force the approx path
+    rng = np.random.default_rng(23)
+    b, c, k, e = 5, 4096, 12, 9
+    s = rng.normal(size=(b, c)).astype(np.float32)
+    cols = np.stack([np.sort(rng.choice(c, size=e, replace=False))
+                     for _ in range(b)]).astype(np.int32)
+    mask = rng.random((b, e)) < 0.7
+    ov, _ = _oracle(jnp.asarray(s), cols, mask, k)
+    v, i, ok = peel_masked_topk_scores(
+        jnp.asarray(s), jnp.asarray(cols), jnp.asarray(mask), k, t=8,
+        interpret=True, with_fallback=False)
+    assert np.asarray(ok).all()
+    _check(v, i, s, ov, cols, mask)
+
+
+def test_approx_selection_recall_miss_trips_guard(monkeypatch):
+    """A recall miss in approx_max_k (simulated: the TRUE BEST window is
+    dropped from every row's selection) must be caught by the counting
+    guard — per-row ok goes False, and the with_fallback=True driver
+    returns the exact dense result anyway. Without the guard this miss
+    would silently corrupt the top-k."""
+    import jax
+
+    import sibrar_tpu.ops.pallas_peel as pp
+
+    def lossy_approx_max_k(x, kk, recall_target=0.95):
+        v, i = lax.top_k(x, kk + 1)
+        return v[:, 1:], i[:, 1:]  # drop the best window everywhere
+
+    monkeypatch.setattr(pp, "_APPROX_SEL_MIN_NW", 8)
+    monkeypatch.setattr(jax.lax, "approx_max_k", lossy_approx_max_k)
+    rng = np.random.default_rng(29)
+    b, c, k = 6, 3968, 11  # unique shapes: defeat the jit cache (the fake
+    s = rng.normal(size=(b, c)).astype(np.float32)  # must get traced)
+    ov, _ = _oracle(jnp.asarray(s), None, None, k)
+    v, i, ok = peel_masked_topk_scores(
+        jnp.asarray(s), None, None, k, t=8,
+        interpret=True, with_fallback=False)
+    assert not np.asarray(ok).any()
+    v, i = peel_masked_topk_scores(jnp.asarray(s), None, None, k, t=8,
+                                   interpret=True, with_fallback=True)
+    _check(v, i, s, ov)
+
+
 def test_corrected_wmax_chunked_gather_interleaved_pads(monkeypatch):
     """The corrected-wmax correction gather rides the sorted-run CHUNKED
     kernel. Shard-local exclusion masks interleave pads among the real
