@@ -115,16 +115,24 @@ def bench_jax_fused() -> float:
     cols = jnp.asarray(
         np.sort(rng.integers(0, C, size=(B, EXCL)), axis=1).astype(np.int32))
     mask = jnp.ones((B, EXCL), bool)
+    # mirror make_dot_eval_batch exactly: catalog pre-padded ONCE to the
+    # chunk multiple (no per-step jnp.pad of the table) and the ok-flag
+    # variant (the in-graph lax.cond fallback is the non-production spelling)
+    bc = 1024
+    cp = -(-C // bc) * bc
+    it = jnp.pad(it, ((0, cp - C), (0, 0))) if cp != C else it
 
     @jax.jit
     def step(u):
-        return peel_masked_topk_dot(u, it, cols, mask, K)
+        return peel_masked_topk_dot(u, it, cols, mask, K, bc=bc, c_real=C,
+                                    with_fallback=False)
 
-    v, i = step(u)
+    v, i, ok = step(u)
     v.block_until_ready()
+    assert bool(ok.all()), "peel exactness check tripped in bench_jax_fused"
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        v, i = step(u)
+        v, i, ok = step(u)
     v.block_until_ready()
     dt = time.perf_counter() - t0
     return B * C * ITERS / dt
@@ -216,13 +224,17 @@ def _bench_jax_large_dot_impl() -> dict:
 
     @jax.jit
     def step(u, it):
-        return peel_masked_topk_dot(u, it, cols, mask, K)
+        # production spelling (make_dot_eval_batch): ok-flag variant;
+        # C_LARGE is already chunk-aligned so no catalog pad exists
+        return peel_masked_topk_dot(u, it, cols, mask, K, c_real=C_LARGE,
+                                    with_fallback=False)
 
-    v, i = step(u, it)
+    v, i, ok = step(u, it)
     v.block_until_ready()
+    assert bool(ok.all()), "peel exactness check tripped in large-dot bench"
     t0 = time.perf_counter()
     for _ in range(ITERS_LARGE):
-        v, i = step(u, it)
+        v, i, ok = step(u, it)
     v.block_until_ready()
     dt = time.perf_counter() - t0
     return {

@@ -172,10 +172,19 @@ class LearningConfig:
     max_patience: int = 10
     optimizing_metric: str = "ndcg@10"
     max_batches_per_epoch: Optional[int] = None
+    # store the adam first moment in this dtype (optax mu_dtype). bfloat16
+    # cuts optimizer HBM traffic on big embedding/interaction tables (adam
+    # updates on the three largest bench tables are bandwidth-floor-bound:
+    # 0.60 ms of the 2.9 ms SBNet step) at a documented precision cost —
+    # OFF by default to keep the reference's f32 torch-Adam semantics.
+    moment_dtype: Optional[str] = None  # None/float32 | bfloat16
 
     def validate(self) -> None:
         if self.optimizer not in ("adam", "adagrad", "adamw"):
             raise ValueError(f"unsupported optimizer {self.optimizer!r}")
+        if self.moment_dtype not in (None, "float32", "bfloat16"):
+            raise ValueError(
+                f"unsupported moment_dtype {self.moment_dtype!r}")
         if self.rec_loss not in ("bce", "bpr", "sampled_softmax"):
             raise ValueError(f"unsupported rec_loss {self.rec_loss!r}")
         if self.loss_aggregator not in ("mean", "sum"):

@@ -207,6 +207,14 @@ class FullEvaluator:
         if not peel_viable(n_catalog, self.k_max, e):
             return None
         k_max = self.k_max
+        # pad the catalog to the kernel's chunk multiple ONCE: items are
+        # encoded once per evaluation but eval_batch runs per user batch,
+        # and the in-kernel jnp.pad of a big table costs 0.137 ms/step at
+        # C=100k (trace-profiled r3). Zero rows match the kernel's own pad.
+        bc = 1024
+        cp = -(-n_catalog // bc) * bc
+        items_p = (jnp.pad(items, ((0, cp - n_catalog), (0, 0)))
+                   if cp != n_catalog else items)
 
         def eval_batch(u_idxs):
             from sibrar_tpu.ops.sparse import csr_row_gather
@@ -215,8 +223,8 @@ class FullEvaluator:
             cols, mask = csr_row_gather(data.exclude_csr, u_idxs)
             tb = min(256, -(-u_idxs.shape[0] // 8) * 8)
             _, topk_idx, ok = peel_masked_topk_dot(
-                u_repr, items, cols, mask, k_max, tb=tb,
-                interpret=interpret,
+                u_repr, items_p, cols, mask, k_max, tb=tb, bc=bc,
+                interpret=interpret, c_real=n_catalog,
                 with_fallback=False)  # not-ok batches redone by the driver
             metrics, cov = self._metrics_from_topk(topk_idx, u_idxs)
             return metrics, cov, ok

@@ -110,7 +110,18 @@ _APPROX_SEL_MIN_NW = 1024
 
 
 def _use_corrected_wmax(c_real: int, e: int) -> bool:
-    return 0 < e <= _CORR_MAX_E and c_real * 4 <= _CORR_MAX_ROW_BYTES
+    # Cost crossover (r3, tools/probe_fused_profile.py at C=100k/B=1024):
+    # the correction pays ONE extra full stream of the score tensor — its
+    # gather rides the same chunked kernel as the main window gather, so
+    # ~C·B·4/HBM_BW (0.55 ms at C=100k) plus the [B, E, NW] splice
+    # broadcasts. The margin path instead grows peel + merge + dead-mask by
+    # ΔE windows (NW-independent, ~5.4 µs per excluded item per 1024 rows:
+    # peel 2.0 + merge-sort 2.4 + bf16 dead-mask ~1.0). Equating the two
+    # gives E* ≈ C/1024: below it the +E margin is cheaper than re-reading
+    # the matrix (bench E=64 at C=100k → margin, −0.6 ms/step); above it
+    # the correction amortizes (E=250 at C=100k → corrected).
+    return (0 < e <= _CORR_MAX_E and c_real * 4 <= _CORR_MAX_ROW_BYTES
+            and e > c_real // 1024)
 
 
 def _round_m(m: int, nw: int) -> int:
@@ -189,6 +200,73 @@ def peel_values(x: jax.Array, t: int, *, rows_per_block: int = 512,
         interpret=interpret,
     )(x.astype(jnp.float32))
     return vals[:r_total]
+
+
+def _peel_values_grouped_kernel(x_ref, vals_ref, *, t: int, ub: int, m: int):
+    w = x_ref.shape[-1]
+    # ONE transpose per block puts the peel rows on LANES, so every round's
+    # winners land lane-major and store straight into the [t, ub·m] out
+    # block. (Winners computed row-major need a vector<ub·m x t> →
+    # <t x ub·m>-family shape cast on the way out, which Mosaic rejects:
+    # "infer-vector-layout: unsupported shape cast".)
+    cur = x_ref[...].reshape(ub * m, w).T  # [W, ub·m]
+    rows = []
+    for r in range(t):  # static unroll; every op is a full-width vector op
+        v = cur.max(axis=0, keepdims=True)  # [1, ub·m] winners on lanes
+        rows.append(v)
+        if r + 1 < t:
+            cur = jnp.where(cur == v, _PEELED, cur)  # clear ALL tied lanes
+    vals_ref[...] = jnp.concatenate(rows, axis=0)  # [t, ub·m] desc rounds
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("t", "users_per_block", "interpret"))
+def peel_values_grouped(g: jax.Array, t: int, *, users_per_block: int = 16,
+                        interpret: bool = False):
+    """`peel_values` over ``g [B, m, W]`` with LANE-COMPACT outputs:
+    ``(vals [B, m·t], last [B, m])`` where ``vals[b, s·t + r]`` is window
+    ``s``'s round-``r`` peel and ``last`` is each window's t-th (deepest)
+    value — the exactness driver's completeness check reads it directly.
+
+    The row-flat kernel's ``[B·m, t]`` output tiles t=8 values into a
+    128-lane tile row — 16× the physical HBM bytes (88 MB at B=1024,
+    m=168), all re-read by the merge-view reshape and the completeness
+    min-reduce (≈0.2-0.35 ms/step trace-profiled at C∈{100k, 500k}). Here
+    the kernel writes a compact ``[t, B·m]`` plane (round-major) and XLA
+    re-folds it to the merge layout — a 5.5 MB transpose instead of 88 MB
+    of padded tiles.
+
+    Requires ``B % ub == 0`` and ``(ub·m) % 128 == 0`` (the out-block lane
+    width); with `_round_m`'s m % 8 rounding, ub=16 always satisfies the
+    latter. Callers fall back to `peel_values` otherwise."""
+    b, m, w = g.shape
+    ub = users_per_block
+    if w % 128:
+        raise ValueError(f"window width {w} must be a multiple of 128")
+    if b % ub or (ub * m) % 128:
+        raise ValueError(f"B={b} must be a multiple of ub={ub} and "
+                         f"ub·m={ub * m} a multiple of 128")
+    t = min(t, w)
+    kernel = functools.partial(_peel_values_grouped_kernel, t=t, ub=ub, m=m)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    vals_t = pl.pallas_call(
+        kernel,
+        grid=(b // ub,),
+        in_specs=[pl.BlockSpec((ub, m, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((t, ub * m), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b * m), jnp.float32),
+        interpret=interpret,
+    )(g.astype(jnp.float32))
+    # [t, B, m] → [B, m, t] → [B, m·t]: the (window, round) merge order the
+    # selection driver decodes (wslot = p // t); ~5.5 MB, one XLA transpose
+    vals_flat = (vals_t.reshape(t, b, m).transpose(1, 2, 0)
+                 .reshape(b, m * t))
+    last = vals_t[t - 1].reshape(b, m)
+    return vals_flat, last
 
 
 # ----------------------------------------------------------- window maxima
@@ -548,10 +626,14 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
         # excl_mask set... excl_w==nw pairs ONLY with pad slots, and those
         # are masked out of the splice below via key < nw)
         slot_w = ((excl_w[:, :, None] == key[:, None, :])
-                  & excl_mask[:, :, None]).astype(jnp.float32)  # [B, E, Es]
+                  & excl_mask[:, :, None]).astype(jnp.bfloat16)  # [B, E, Es]
         oh_le = (excl_cols[:, :, None] % w
-                 == jnp.arange(w, dtype=jnp.int32)).astype(jnp.float32)
-        dead_e = jnp.einsum("bes,bel->bsl", slot_w, oh_le) > 0.0
+                 == jnp.arange(w, dtype=jnp.int32)).astype(jnp.bfloat16)
+        # bf16 one-hots are exact 0/1 and accumulate in f32 — and keep the
+        # contraction off the VPU loop-fusion path (the f32 spelling ran as
+        # a Σ_E compare-product fusion: 0.4 ms at [1024, 64, 104]·[.., 128])
+        dead_e = jnp.einsum("bes,bel->bsl", slot_w, oh_le,
+                            preferred_element_type=jnp.float32) > 0.0
         corr = jnp.where(dead_e, _PEELED, ge).max(-1)  # [B, Es]
         match = key[:, :, None] == jnp.arange(nw, dtype=jnp.int32)
         corr_b = jnp.max(jnp.where(match, corr[:, :, None], _NEG), axis=1)
@@ -607,10 +689,14 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
     if e:
         excl_w = excl_cols // w  # window of each excluded column
         oh_s = ((excl_w[:, :, None] == widx[:, None, :]) & excl_mask[:, :, None]
-                ).astype(jnp.float32)  # [B, E, m]
+                ).astype(jnp.bfloat16)  # [B, E, m]
         oh_l = (excl_cols[:, :, None] % w
-                == jnp.arange(w, dtype=jnp.int32)).astype(jnp.float32)  # [B,E,W]
-        dead = jnp.einsum("bes,bel->bsl", oh_s, oh_l) > 0.0  # [B, m, W]
+                == jnp.arange(w, dtype=jnp.int32)).astype(jnp.bfloat16)  # [B,E,W]
+        # bf16 0/1 one-hots with f32 accumulation: exact counts, and the
+        # contraction stays off the VPU loop-fusion path (f32 spelling:
+        # 0.4 ms as a Σ_E compare-product fusion at [1024, 64, 104]·[.., 128])
+        dead = jnp.einsum("bes,bel->bsl", oh_s, oh_l,
+                          preferred_element_type=jnp.float32) > 0.0  # [B,m,W]
     if padded:  # zero-score pad items in the partial window must not peel
         gid = (widx[:, :, None] * w
                + lax.broadcasted_iota(jnp.int32, (b, m, w), 2))
@@ -619,12 +705,19 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
     if dead is not None:
         g = jnp.where(dead, _PEELED, g)
 
-    # [B, m, W] is (user, window)-row-major: the peel-row view is free
-    vals = peel_values(g.reshape(b * m, w), t,
-                       interpret=interpret).reshape(b, m, t)
+    # grouped peel emits the merge layout [B, m·t] lane-compact plus each
+    # window's deepest value (the row-flat [B·m, t] output tiles t values
+    # into 128-lane rows: 16× the HBM bytes, re-read twice downstream)
+    if b % 16 == 0 and (16 * m) % 128 == 0:
+        vals_flat, last = peel_values_grouped(g, t, interpret=interpret)
+    else:  # odd batches / unrounded m: the row-flat kernel is unconstrained
+        vals = peel_values(g.reshape(b * m, w), t,
+                           interpret=interpret).reshape(b, m, t)
+        vals_flat = vals.reshape(b, m * t)
+        last = jnp.min(vals, axis=-1)
 
     kk = min(k, c_real)
-    v, p = lax.top_k(vals.reshape(b, m * t), kk)  # n = m·t ≪ m·W
+    v, p = lax.top_k(vals_flat, kk)  # n = m·t ≪ m·W
 
     # winner-only index recovery. The winner's window id comes from an
     # INTEGER one-hot contraction (bit-exact; a float einsum would ride the
@@ -647,10 +740,9 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
     # flags let drivers redo only affected batches instead of the whole
     # evaluation, and keep one degenerate user (e.g. cold items with equal
     # embeddings sharing a window) from defeating the peel batch-wide.
-    # per-window t-th peeled value == min over the (descending) peel rounds:
-    # a lane-reduce fuses where the vals[:, :, t-1] lane slice costs a
-    # 0.24 ms relayout copy of the [B, m, t] bitcast (profiled at B=1024)
-    complete = jnp.all(jnp.min(vals, axis=-1) <= v[:, kk - 1:kk], axis=1)
+    # per-window t-th peeled value == min over the (descending) peel rounds,
+    # emitted directly by the grouped kernel's `last` output
+    complete = jnp.all(last <= v[:, kk - 1:kk], axis=1)
     unique = jnp.all(n_hit == 1, axis=1)
     all_live = jnp.all(v > _PEELED, axis=1)
     ok = complete & unique & all_live
@@ -773,29 +865,45 @@ def peel_masked_topk_scores(scores: jax.Array, excl_cols: jax.Array | None,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "t", "window", "tb", "bc", "interpret",
-                                    "with_fallback"))
+                                    "with_fallback", "c_real"))
 def peel_masked_topk_dot(u: jax.Array, items: jax.Array,
                          excl_cols: jax.Array | None,
                          excl_mask: jax.Array | None,
                          k: int, *, t: int = 8, window: int = 128,
                          tb: int = 256, bc: int = 1024,
                          interpret: bool = False,
-                         with_fallback: bool = True):
+                         with_fallback: bool = True,
+                         c_real: int | None = None):
     """Dot-product scores + exclusion + exact top-k with the fused
     native-layout epilogue: one GEMM pass writes [B, C] scores AND their
     window maxima (`ops/pallas_window.score_native_wmax`), then selection
     runs the scores-path peel with its wmax read deleted. Unlike
     `peel_masked_topk` (windowed [NW, B, W] tiling, VMEM-capped at
     C ≈ 192k) this scales to arbitrary catalogs via the chunked sorted-run
-    gather."""
+    gather.
+
+    ``c_real``: callers that hold the item table across many batches (the
+    fused whole-eval driver) pre-pad it ONCE to the ``bc`` chunk multiple
+    with zero rows and pass the live count here — the per-call jnp.pad of
+    a big table costs 0.137 ms/step at C=100k (trace-profiled r3). Zero pad
+    rows are exactly what the internal pad produces, and `_peel_select`
+    dead-masks every lane ≥ c_real."""
     from sibrar_tpu.ops.pallas_window import score_native_wmax
 
     b, d = u.shape
-    c = items.shape[0]
-    bp, cp, dp = -(-b // tb) * tb, -(-c // bc) * bc, -(-d // 128) * 128
+    c, di = items.shape
+    if c_real is None:
+        c_real = c
+    elif not (c % bc == 0 and c_real <= c < c_real + bc):
+        raise ValueError(
+            f"c_real={c_real}: items must be pre-padded to the next bc="
+            f"{bc} multiple (got {c} rows)")
+    bp, cp, dp = (-(-b // tb) * tb, -(-c // bc) * bc,
+                  -(-max(d, di) // 128) * 128)
     if dp != d:
         u = jnp.pad(u, ((0, 0), (0, dp - d)))
-        items = jnp.pad(items, ((0, 0), (0, dp - d)))
+    if dp != di:
+        items = jnp.pad(items, ((0, 0), (0, dp - di)))
     if bp != b:
         u = jnp.pad(u, ((0, bp - b), (0, 0)))
     if cp != c:
@@ -808,7 +916,7 @@ def peel_masked_topk_dot(u: jax.Array, items: jax.Array,
     gemm_tb = 1024 if bp % 1024 == 0 else (bp if bp <= 1024 else tb)
     scores, wmax = score_native_wmax(u, items, window=window, tb=gemm_tb,
                                      bc=bc, interpret=interpret)
-    out = peel_topk_from_scores(scores, excl_cols, excl_mask, k, c,
+    out = peel_topk_from_scores(scores, excl_cols, excl_mask, k, c_real,
                                 window=window, t=t, interpret=interpret,
                                 with_fallback=with_fallback, b_real=b,
                                 wmax=wmax)

@@ -48,12 +48,19 @@ class TrainState:
 def build_optimizer(learn: LearningConfig) -> optax.GradientTransformation:
     """adam/adagrad/adamw with torch-equivalent weight-decay placement:
     for adam/adagrad the decay enters the gradient before the moment updates
-    (torch's L2-style `weight_decay`); adamw uses decoupled decay."""
+    (torch's L2-style `weight_decay`); adamw uses decoupled decay.
+
+    ``learn.moment_dtype = "bfloat16"`` stores the adam first moment in
+    bf16 (optax ``mu_dtype``) — an opt-in production knob that trims
+    optimizer HBM traffic on large tables; the default keeps the
+    reference's all-f32 torch-Adam semantics bit-for-bit."""
+    mu_dtype = (jnp.bfloat16 if learn.moment_dtype == "bfloat16" else None)
     if learn.optimizer == "adam":
         txs = []
         if learn.wd:
             txs.append(optax.add_decayed_weights(learn.wd))
-        txs += [optax.scale_by_adam(), optax.scale(-learn.lr)]
+        txs += [optax.scale_by_adam(mu_dtype=mu_dtype),
+                optax.scale(-learn.lr)]
         return optax.chain(*txs)
     if learn.optimizer == "adagrad":
         txs = []
@@ -62,7 +69,8 @@ def build_optimizer(learn: LearningConfig) -> optax.GradientTransformation:
         txs += [optax.scale_by_rss(initial_accumulator_value=0.0), optax.scale(-learn.lr)]
         return optax.chain(*txs)
     if learn.optimizer == "adamw":
-        return optax.adamw(learn.lr, weight_decay=learn.wd)
+        return optax.adamw(learn.lr, weight_decay=learn.wd,
+                           mu_dtype=mu_dtype)
     raise ValueError(f"unsupported optimizer {learn.optimizer!r}")
 
 

@@ -529,6 +529,34 @@ def test_peel_native_dot_topk_matches_oracle(b, c, d, e, k, t):
     _check(v, i, scores, ov, cols, mask)
 
 
+def test_peel_native_dot_prepadded_catalog_matches():
+    """`c_real=` with a caller-pre-padded item table (the fused whole-eval
+    driver pads ONCE instead of paying an in-graph jnp.pad per batch) must
+    bit-match the unpadded call, and reject tables that aren't actually
+    padded to the chunk multiple."""
+    from sibrar_tpu.ops.pallas_peel import peel_masked_topk_dot
+
+    rng = np.random.default_rng(9)
+    b, c, d, e, k, bc = 16, 3000, 64, 12, 10, 1024
+    u = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    it = rng.normal(size=(c, d)).astype(np.float32)
+    cols = jnp.asarray(np.stack(
+        [rng.choice(c, size=e, replace=False) for _ in range(b)]
+    ).astype(np.int32))
+    mask = jnp.asarray(rng.random((b, e)) < 0.8)
+    cp = -(-c // bc) * bc
+    it_p = jnp.asarray(np.pad(it, ((0, cp - c), (0, 0))))
+    v0, i0 = peel_masked_topk_dot(u, jnp.asarray(it), cols, mask, k,
+                                  interpret=True)
+    v1, i1 = peel_masked_topk_dot(u, it_p, cols, mask, k, interpret=True,
+                                  c_real=c)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    with pytest.raises(ValueError, match="pre-padded"):
+        peel_masked_topk_dot(u, jnp.asarray(it), cols, mask, k,
+                             interpret=True, c_real=c - 8)
+
+
 def test_score_native_wmax_matches_xla(monkeypatch):
     """The fused epilogue's scores and window maxima must equal the XLA
     matmul + reshape-max spelling (interpret mode: exact)."""

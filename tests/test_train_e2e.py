@@ -56,6 +56,24 @@ def test_mf_bpr_and_ssm_losses_train(splits):
         assert best["val/ndcg@10"] > 0.01
 
 
+def test_bf16_moment_dtype_trains(splits):
+    """Opt-in `moment_dtype: bfloat16` must store the adam first moment in
+    bf16 (optax mu_dtype) and still learn signal."""
+    import jax
+
+    tr = splits["train"]
+    model = SGDMatrixFactorization(n_users=tr.n_users, n_items=tr.n_items,
+                                   embedding_dim=16)
+    trainer, best = _fit(model, splits, epochs=6, moment_dtype="bfloat16")
+    mus = [x.dtype for x in jax.tree_util.tree_leaves(trainer.state.opt_state)
+           if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment buffers found in opt_state"
+    assert np.isfinite(best["val/ndcg@10"]) and best["val/ndcg@10"] > 0.01
+
+    with pytest.raises(ValueError, match="moment_dtype"):
+        LearningConfig(moment_dtype="float16").validate()
+
+
 def test_mf_with_biases(splits):
     tr = splits["train"]
     model = SGDMatrixFactorization(

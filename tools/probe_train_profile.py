@@ -98,6 +98,7 @@ def main():
     # dur in microseconds; aggregate by name
     by_name = collections.defaultdict(float)
     counts = collections.defaultdict(int)
+    args_of = {}
     total = 0.0
     # identify device pids via process_name metadata
     pid_names = {}
@@ -115,10 +116,17 @@ def main():
         by_name[name] += e["dur"]
         counts[name] += 1
         total += e["dur"]
+        if name not in args_of:
+            args_of[name] = e.get("args", {})
     print(f"pids seen: { {pid: n for pid, n in pid_names.items()} }")
     print(f"total device-op time: {total/1000:.3f} ms over {len(by_name)} op names")
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:top_n]:
-        print(f"{dur/1000:9.3f} ms  x{counts[name]:<5d} {name[:110]}")
+        a = args_of.get(name, {})
+        src = a.get("source", "")
+        ln = a.get("long_name", "")[:100]
+        print(f"{dur/1000:9.3f} ms  x{counts[name]:<5d} {name[:60]:62s} {src}")
+        if ln:
+            print(f"           {ln}")
 
 
 if __name__ == "__main__":
