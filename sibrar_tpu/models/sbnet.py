@@ -189,6 +189,12 @@ class SingleBranchNetEntity(RecModel):
                 axis=-2)
             picked = jnp.take_along_axis(
                 all_proj, sampled[..., None], axis=-2)  # [..., k, d]
+        # NOTE (measured negative, r3): running the branch MLP on a flat
+        # [N, d] view of picked (to dodge the [..., 2, d] second-to-minor
+        # axis and its {3,0,2,1} relayout copies) does NOT help — XLA
+        # re-fans the reshapes out, the op count grows (966 → 1091 names)
+        # and the step time is unchanged (2.89 → 2.93 ms), while reduction
+        # re-fusion drifts the seeded loss by ~2e-4.
         encoded = self._branch(picked, train=True)  # [..., k, output_dim]
 
         if k == 2:
