@@ -374,21 +374,26 @@ def gather_windows_rows(sw_t: jax.Array, widx: jax.Array, *, gb: int = 8,
 
 
 # ----------------------------------------------- direct [B, C] window gather
-def _gather_cols_kernel(widx_ref, s_ref, out_ref, *, m: int, gb: int,
-                        w: int):
+def _gather_cols_kernel(widx_ref, s_ref, *rest, m: int, gb: int,
+                        w: int, has_dead: bool):
     from jax.experimental import pallas as pl
+
+    dead_ref, out_ref = rest if has_dead else (None, rest[0])
 
     def body(j, carry):
         for bb in range(gb):  # static unroll over the user group
             off = pl.multiple_of(widx_ref[bb, j] * w, w)  # provably aligned
-            out_ref[bb, j, :] = s_ref[bb, pl.ds(off, w)]
+            row = s_ref[bb, pl.ds(off, w)]
+            if has_dead:  # mask excluded/pad lanes on copy (no extra pass)
+                row = jnp.where(dead_ref[bb, j, :], _PEELED, row)
+            out_ref[bb, j, :] = row
         return carry
 
     lax.fori_loop(0, m, body, 0)
 
 
-def _gather_cols_chunked_kernel(widx_ref, s_ref, out_ref, *, m: int, gb: int,
-                                w: int, cb: int):
+def _gather_cols_chunked_kernel(widx_ref, s_ref, *rest, m: int, gb: int,
+                                w: int, cb: int, has_dead: bool):
     """Catalog-chunked variant: the [gb, C] row block would blow Mosaic's
     scoped-VMEM window for C ≳ 192k, so the grid adds a C axis and each step
     sees only a [gb, cb] chunk; every (row, window) pair copies from exactly
@@ -396,6 +401,7 @@ def _gather_cols_chunked_kernel(widx_ref, s_ref, out_ref, *, m: int, gb: int,
     across the inner C axis and written back once at the end)."""
     from jax.experimental import pallas as pl
 
+    dead_ref, out_ref = rest if has_dead else (None, rest[0])
     base = pl.program_id(1) * cb
 
     def body(j, carry):
@@ -404,14 +410,17 @@ def _gather_cols_chunked_kernel(widx_ref, s_ref, out_ref, *, m: int, gb: int,
 
             @pl.when((off >= 0) & (off < cb))
             def _copy(off=off, bb=bb, j=j):
-                out_ref[bb, j, :] = s_ref[bb, pl.ds(pl.multiple_of(off, w), w)]
+                row = s_ref[bb, pl.ds(pl.multiple_of(off, w), w)]
+                if has_dead:
+                    row = jnp.where(dead_ref[bb, j, :], _PEELED, row)
+                out_ref[bb, j, :] = row
         return carry
 
     lax.fori_loop(0, m, body, 0)
 
 
-def _gather_cols_runs_kernel(widx_ref, bounds_ref, s_ref, out_ref, *,
-                             gb: int, w: int, cb: int):
+def _gather_cols_runs_kernel(widx_ref, bounds_ref, s_ref, *rest,
+                             gb: int, w: int, cb: int, has_dead: bool):
     """Sorted-rows chunked variant: rows of `widx` are ascending, so the
     windows a chunk serves form one contiguous run [bounds[b, ci],
     bounds[b, ci+1]) per row — each grid step copies exactly its run with
@@ -420,22 +429,27 @@ def _gather_cols_runs_kernel(widx_ref, bounds_ref, s_ref, out_ref, *,
     predicated iterations (profiled 9.3 → ~4 ms expectation)."""
     from jax.experimental import pallas as pl
 
+    dead_ref, out_ref = rest if has_dead else (None, rest[0])
     ci = pl.program_id(1)
     base = ci * cb
 
     for bb in range(gb):  # static unroll over the user group
         def body(j, carry, bb=bb):
             off = widx_ref[bb, j] * w - base
-            out_ref[bb, j, :] = s_ref[bb, pl.ds(pl.multiple_of(off, w), w)]
+            row = s_ref[bb, pl.ds(pl.multiple_of(off, w), w)]
+            if has_dead:
+                row = jnp.where(dead_ref[bb, j, :], _PEELED, row)
+            out_ref[bb, j, :] = row
             return carry
 
         lax.fori_loop(bounds_ref[bb, ci], bounds_ref[bb, ci + 1], body, 0)
 
 
 def _gather_out_bytes(gb: int, m: int, w: int) -> int:
-    """Scoped-VMEM bytes of the gather's [gb, m, w] out block (counted
-    double-buffered: the block changes at every user-group grid step)."""
-    return 2 * gb * m * w * 4
+    """Scoped-VMEM bytes of the gather's [gb, m, w] out block plus the
+    optional bool dead-mask input block of the same shape (both counted
+    double-buffered: they change at every user-group grid step)."""
+    return 2 * gb * m * w * (4 + 1)
 
 
 def _pick_chunk(c: int, gb: int, w: int, m: int) -> int:
@@ -459,6 +473,7 @@ def _pick_chunk(c: int, gb: int, w: int, m: int) -> int:
                    static_argnames=("w", "gb", "sorted_rows", "interpret"))
 def gather_score_windows(scores: jax.Array, widx: jax.Array, *, w: int = 128,
                          gb: int = 8, sorted_rows: bool = False,
+                         dead: jax.Array | None = None,
                          interpret: bool = False) -> jax.Array:
     """``out[b, j, :] = scores[b, widx[b,j]*w : (widx[b,j]+1)*w]`` straight
     off the [B, C] score matrix: the lane offsets are dynamic but provably
@@ -467,7 +482,16 @@ def gather_score_windows(scores: jax.Array, widx: jax.Array, *, w: int = 128,
     at all on this path. Catalogs too wide for a resident [gb, C] block
     (C ≳ 192k) switch to a chunked kernel automatically; pass
     ``sorted_rows=True`` (rows of `widx` ascending) there so each chunk
-    copies one contiguous run per row instead of predicating over all m."""
+    copies one contiguous run per row instead of predicating over all m.
+
+    ``dead`` ([B, m, W] bool) lanes are set to −∞ ON COPY. Mosaic accepts
+    pred VMEM blocks (tools/probe_pred_input.py), but NOTE the measured
+    negative: on the peel path this is a net LOSS — XLA widens the pred to
+    s32 to materialize it for the kernel (88 MB, 0.44 ms/step at B=1024,
+    m=168) where the plain XLA where fuses the whole mask computation into
+    one pass over the output (0.27 ms/step) — so `_peel_select` keeps the
+    where in XLA. The input remains for callers whose mask is already
+    materialized."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -477,6 +501,13 @@ def gather_score_windows(scores: jax.Array, widx: jax.Array, *, w: int = 128,
         gb = b
     if c % w or w % 128:
         raise ValueError(f"shape misalignment: C={c}%{w}, W={w}%128")
+    has_dead = dead is not None
+    dead_ops = (dead,) if has_dead else ()
+
+    def _dead_spec(index_map):
+        return (pl.BlockSpec((gb, m, w), index_map,
+                             memory_space=pltpu.VMEM),) if has_dead else ()
+
     if gb * c * 4 * 2 + _gather_out_bytes(gb, m, w) > _GATHER_VMEM_BYTES:
         cb = _pick_chunk(c, gb, w, m)
         n_chunks = c // cb
@@ -486,7 +517,7 @@ def gather_score_windows(scores: jax.Array, widx: jax.Array, *, w: int = 128,
             bounds = jnp.sum(widx[:, :, None] < edges[None, None, :],
                              axis=1).astype(jnp.int32)  # [B, n_chunks+1]
             kernel = functools.partial(_gather_cols_runs_kernel, gb=gb,
-                                       w=w, cb=cb)
+                                       w=w, cb=cb, has_dead=has_dead)
             return pl.pallas_call(
                 kernel,
                 grid=(b // gb, n_chunks),
@@ -497,14 +528,15 @@ def gather_score_windows(scores: jax.Array, widx: jax.Array, *, w: int = 128,
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec((gb, cb), lambda i, j: (i, j),
                                  memory_space=pltpu.VMEM),
+                    *_dead_spec(lambda i, j: (i, 0, 0)),
                 ],
                 out_specs=pl.BlockSpec((gb, m, w), lambda i, j: (i, 0, 0),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((b, m, w), jnp.float32),
                 interpret=interpret,
-            )(widx, bounds, scores)
+            )(widx, bounds, scores, *dead_ops)
         kernel = functools.partial(_gather_cols_chunked_kernel, m=m, gb=gb,
-                                   w=w, cb=cb)
+                                   w=w, cb=cb, has_dead=has_dead)
         return pl.pallas_call(
             kernel,
             grid=(b // gb, n_chunks),
@@ -513,25 +545,28 @@ def gather_score_windows(scores: jax.Array, widx: jax.Array, *, w: int = 128,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((gb, cb), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
+                *_dead_spec(lambda i, j: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((gb, m, w), lambda i, j: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, m, w), jnp.float32),
             interpret=interpret,
-        )(widx, scores)
-    kernel = functools.partial(_gather_cols_kernel, m=m, gb=gb, w=w)
+        )(widx, scores, *dead_ops)
+    kernel = functools.partial(_gather_cols_kernel, m=m, gb=gb, w=w,
+                               has_dead=has_dead)
     return pl.pallas_call(
         kernel,
         grid=(b // gb,),
         in_specs=[
             pl.BlockSpec((gb, m), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((gb, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *_dead_spec(lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((gb, m, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, m, w), jnp.float32),
         interpret=interpret,
-    )(widx, scores)
+    )(widx, scores, *dead_ops)
 
 
 # ------------------------------------------------------- winner-row gather
@@ -572,6 +607,82 @@ def gather_subwindows(g: jax.Array, slots: jax.Array, *, gb: int = 8,
         out_shape=jax.ShapeDtypeStruct((b, kk, w), jnp.float32),
         interpret=interpret,
     )(slots, g)
+
+
+# -------------------------------------------------------- winner recovery
+def _recover_kernel(slot_ref, slot_v_ref, widx_ref, v_ref, g_ref,
+                    lane_ref, nhit_ref, wsel_ref, rows_ref, *,
+                    kk: int, gb: int, m: int, w: int):
+    def body(s, carry):
+        for bb in range(gb):  # static unroll over the user group
+            rows_ref[bb, s, :] = g_ref[bb, slot_ref[bb, s], :]
+        return carry
+
+    lax.fori_loop(0, kk, body, 0)
+    rows = rows_ref[...]
+    hit = rows == v_ref[...]  # [gb, kk, W] vs [gb, kk, 1] lane broadcast
+    lane_iota = lax.broadcasted_iota(jnp.int32, (gb, kk, w), 2)
+    lane_ref[...] = jnp.min(jnp.where(hit, lane_iota, w), axis=-1)
+    nhit_ref[...] = jnp.sum(hit.astype(jnp.int32), axis=-1)
+    # winner window ids on the VPU: a [gb, kk, m] one-hot select against the
+    # slot ids — NOT a per-winner scalar SMEM lookup chain (3 scalar ops ×
+    # gb·kk per block serialize to ~0.9 ms/step at B=1024, kk=100; the
+    # vector spelling is ~17M lane-ops total, noise)
+    slot_iota = lax.broadcasted_iota(jnp.int32, (gb, kk, m), 2)
+    oh = slot_iota == slot_v_ref[...]  # [gb, kk, m] vs [gb, kk, 1]
+    widx_b = jnp.reshape(widx_ref[...], (gb, 1, m))
+    wsel_ref[...] = jnp.max(jnp.where(oh, widx_b, 0), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("gb", "interpret"))
+def recover_winners(g: jax.Array, widx: jax.Array, slots: jax.Array,
+                    v: jax.Array, *, gb: int = 8, interpret: bool = False):
+    """Fused winner-index recovery: for each winner ``(b, s)`` fetch its
+    window row ``g[b, slots[b,s], :]`` into VMEM scratch and emit
+
+    - ``lane [B, kk]``: first lane whose value equals the winner value,
+    - ``n_hit [B, kk]``: number of equal lanes (the uniqueness check input),
+    - ``widx_sel [B, kk]``: the winner's catalog window id ``widx[b, slots]``.
+
+    Replaces `gather_subwindows` + the XLA hit/lane/one-hot cluster on the
+    peel path: the [B, kk, W] rows tensor (52 MB at B=1024, kk=100) never
+    leaves HBM, deleting its write + 3 re-reads and the [B, kk, m] iota
+    one-hot materialization (together ~0.48 ms/step of the 4.18 ms C=100k
+    eval step, trace-profiled). All post-copy phases are full-width vector
+    ops; the only scalar work is one slot load per winner row copy."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, m, w = g.shape
+    kk = slots.shape[1]
+    if b % gb:
+        gb = b
+    kernel = functools.partial(_recover_kernel, kk=kk, gb=gb, m=m, w=w)
+    lane, n_hit, widx_sel = pl.pallas_call(
+        kernel,
+        grid=(b // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, kk), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb, kk, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, m), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, kk, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, m, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((gb, kk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, kk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, kk), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, kk), jnp.int32),
+                   jax.ShapeDtypeStruct((b, kk), jnp.int32),
+                   jax.ShapeDtypeStruct((b, kk), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((gb, kk, w), jnp.float32)],
+        interpret=interpret,
+    )(slots, slots[:, :, None], widx, v[:, :, None], g)
+    return lane, n_hit, widx_sel
 
 
 # ------------------------------------------------------------- orchestration
@@ -680,11 +791,16 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
     # then copies one contiguous run per catalog chunk instead of predicating
     # over all m windows each chunk
     widx = jnp.sort(widx, axis=1)
-    g = gather_fn(widx, sorted_rows=True)  # [B, m, W]
 
     # pre-peel exclusion: mask each user's excluded lanes within the selected
     # windows. oh_s[b,e,s]·oh_l[b,e,l] sums over e into a [B, m, W] hit mask —
     # a batched one-hot matmul the MXU eats, instead of a scalarized scatter.
+    # Measured negative (r3): applying the mask ON COPY inside the gather
+    # kernel (gather_score_windows's `dead` input) forces the bool mask to
+    # materialize for the kernel (XLA widens the pred to s32 — an 88 MB
+    # write, 0.44 ms/step), where the XLA spelling below fuses the whole
+    # einsum→compare→where into ONE pass over g (0.27 ms/step). Keep the
+    # where in XLA.
     dead = None
     if e:
         excl_w = excl_cols // w  # window of each excluded column
@@ -702,6 +818,7 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
                + lax.broadcasted_iota(jnp.int32, (b, m, w), 2))
         pad_dead = gid >= c_real
         dead = pad_dead if dead is None else (dead | pad_dead)
+    g = gather_fn(widx, sorted_rows=True)  # [B, m, W]
     if dead is not None:
         g = jnp.where(dead, _PEELED, g)
 
@@ -719,18 +836,15 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
     kk = min(k, c_real)
     v, p = lax.top_k(vals_flat, kk)  # n = m·t ≪ m·W
 
-    # winner-only index recovery. The winner's window id comes from an
-    # INTEGER one-hot contraction (bit-exact; a float einsum would ride the
-    # MXU's lossy bf16 passes), and the winner's row is fetched back out of
-    # the dead-masked `g` itself (bit-exact values, exclusion included).
+    # winner-only index recovery, fused in one kernel: each winner's window
+    # row is fetched from the dead-masked `g` itself (bit-exact values,
+    # exclusion included) into VMEM scratch, its first/count of equal lanes
+    # reduced in-register, and its catalog window id read via a scalar SMEM
+    # lookup — the [B, kk, W] rows tensor and the [B, kk, m] one-hot never
+    # touch HBM (~0.48 ms/step of the 4.18 ms C=100k eval step).
     wslot = p // t
-    oh_m = (wslot[:, :, None] == jnp.arange(m, dtype=wslot.dtype))  # [B,kk,m]
-    widx_sel = jnp.sum(jnp.where(oh_m, widx[:, None, :], 0), axis=-1)  # [B,kk]
-    rows = gather_subwindows(g, wslot, interpret=interpret)  # [B, kk, W]
-    hit = rows == v[:, :, None]  # [B, kk, W]
-    lane_iota = jnp.arange(w, dtype=jnp.int32)
-    lane = jnp.min(jnp.where(hit, lane_iota, w), axis=-1)  # [B, kk]
-    n_hit = jnp.sum(hit, axis=-1)  # in-window duplicates of a winner value
+    lane, n_hit, widx_sel = recover_winners(g, widx, wslot, v,
+                                            interpret=interpret)
     idx = widx_sel * w + jnp.minimum(lane, w - 1)
 
     # exactness checks (docstring item 8), PER ROW. A -inf winner means the
@@ -787,8 +901,11 @@ def peel_topk_windows(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
     (the `score_windows` fused-matmul layout) via value peeling."""
     nw, b, w = sw_t.shape
 
-    def gather_fn(wi, sorted_rows=False):  # plane gather: order-agnostic
-        return gather_windows_rows(sw_t, wi, interpret=interpret)
+    def gather_fn(wi, sorted_rows=False, dead=None):  # plane gather
+        g = gather_windows_rows(sw_t, wi, interpret=interpret)
+        if dead is not None:  # windowed-layout path: mask as an XLA pass
+            g = jnp.where(dead, _PEELED, g)
+        return g
 
     def fallback_fn():
         return sw_t.transpose(1, 0, 2).reshape(b, nw * w)
@@ -816,9 +933,9 @@ def peel_topk_from_scores(scores: jax.Array, excl_cols: jax.Array,
     if wmax is None:
         wmax = window_max(scores, window, interpret=interpret)
 
-    def gather_fn(wi, sorted_rows=False):
+    def gather_fn(wi, sorted_rows=False, dead=None):
         return gather_score_windows(scores, wi, w=window,
-                                    sorted_rows=sorted_rows,
+                                    sorted_rows=sorted_rows, dead=dead,
                                     interpret=interpret)
 
     return _peel_select(gather_fn, wmax, excl_cols, excl_mask, k, c_real,

@@ -613,3 +613,52 @@ def test_pick_chunk_budgets_out_block():
         assert cb % 128 == 0
         assert 8 * cb * 4 * 2 + _gather_out_bytes(8, m, 128) \
             <= _GATHER_VMEM_BYTES, m
+
+
+def test_gather_score_windows_dead_mask_on_copy():
+    """The gather's dead input masks lanes to -inf ON COPY — parity with
+    gathering then applying the where-pass (all three kernel variants)."""
+    from sibrar_tpu.ops.pallas_peel import gather_score_windows
+
+    rng = np.random.default_rng(11)
+    b, c, m, w = 16, 1024, 8, 128
+    scores = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32))
+    widx = jnp.sort(jnp.asarray(
+        rng.integers(0, c // w, size=(b, m)).astype(np.int32)), axis=1)
+    dead = jnp.asarray(rng.random((b, m, w)) < 0.2)
+    plain = gather_score_windows(scores, widx, w=w, sorted_rows=True,
+                                 interpret=True)
+    want = jnp.where(dead, float("-inf"), plain)
+    got = gather_score_windows(scores, widx, w=w, sorted_rows=True,
+                               dead=dead, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_recover_winners_matches_xla_recovery():
+    """Fused recovery kernel == the XLA hit/lane/one-hot cluster it replaces,
+    including tie counting (n_hit > 1) and widx_sel lookups."""
+    from sibrar_tpu.ops.pallas_peel import recover_winners
+
+    rng = np.random.default_rng(12)
+    b, m, w, kk = 16, 24, 128, 10
+    g = rng.normal(size=(b, m, w)).astype(np.float32)
+    # plant duplicates of some winner values inside their window
+    g[0, 3, 7] = g[0, 3, 99]
+    g[5, 0, 0] = g[5, 0, 1] = g[5, 0, 2]
+    slots = rng.integers(0, m, size=(b, kk)).astype(np.int32)
+    lanes = rng.integers(0, w, size=(b, kk)).astype(np.int32)
+    slots[0, 0], lanes[0, 0] = 3, 7    # points at a planted duplicate pair
+    slots[5, 1], lanes[5, 1] = 0, 1    # and at the planted triple
+    v = np.take_along_axis(g.reshape(b, m * w), slots * w + lanes, 1)
+    widx = np.sort(rng.integers(0, 999, size=(b, m)).astype(np.int32), 1)
+    lane, n_hit, widx_sel = recover_winners(
+        jnp.asarray(g), jnp.asarray(widx), jnp.asarray(slots),
+        jnp.asarray(v), interpret=True)
+    rows = np.take_along_axis(g, slots[:, :, None], axis=1)
+    hit = rows == v[:, :, None]
+    np.testing.assert_array_equal(
+        np.asarray(lane), np.where(hit, np.arange(w), w).min(-1))
+    np.testing.assert_array_equal(np.asarray(n_hit), hit.sum(-1))
+    np.testing.assert_array_equal(
+        np.asarray(widx_sel), np.take_along_axis(widx, slots, 1))
+    assert int(jnp.max(n_hit)) > 1  # the planted ties are really counted
