@@ -76,6 +76,7 @@ margin over that worst case while giving up ≤0.4 ms vs t=4.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +108,12 @@ _CORR_MAX_ROW_BYTES = 1 << 20
 # dominates (1.99 ms at NW=3920) and PartialReduce selection wins. The
 # guard keeps the approximate path exact (see _peel_select).
 _APPROX_SEL_MIN_NW = 1024
+
+# Winner-index recovery spelling: the fused `recover_winners` kernel vs the
+# XLA cluster (`gather_subwindows` + hit/lane/one-hot fusions). A/B probe
+# switch (tools/probe_eval_profile.py) — see _peel_select for the measured
+# verdict.
+_RECOVER_KERNEL = os.environ.get("SIBRAR_PEEL_RECOVER_KERNEL", "0") == "1"
 
 
 def _use_corrected_wmax(c_real: int, e: int) -> bool:
@@ -644,12 +651,18 @@ def recover_winners(g: jax.Array, widx: jax.Array, slots: jax.Array,
     - ``n_hit [B, kk]``: number of equal lanes (the uniqueness check input),
     - ``widx_sel [B, kk]``: the winner's catalog window id ``widx[b, slots]``.
 
-    Replaces `gather_subwindows` + the XLA hit/lane/one-hot cluster on the
-    peel path: the [B, kk, W] rows tensor (52 MB at B=1024, kk=100) never
-    leaves HBM, deleting its write + 3 re-reads and the [B, kk, m] iota
-    one-hot materialization (together ~0.48 ms/step of the 4.18 ms C=100k
-    eval step, trace-profiled). All post-copy phases are full-width vector
-    ops; the only scalar work is one slot load per winner row copy."""
+    MEASURED NEGATIVE (r3, trace-profiled A/B at both C=100k and C=500k,
+    B=1024/kk=100/m=168 on v5e): this kernel costs **1.20–1.41 ms/step**
+    where the XLA cluster it was meant to replace (`gather_subwindows` +
+    hit/lane fusions + integer one-hot widx contraction) costs ~0.69 ms
+    (whole step 4.18 vs 4.62 ms at 100k, 12.22 vs 12.75 ms at 500k). The
+    fusion-avoidance intuition (keep the [B, kk, W] rows tensor and the
+    [B, kk, m] one-hot out of HBM) loses to two Mosaic costs the XLA path
+    doesn't pay: the 800 scalar-chained row copies per block serialize
+    against their SMEM slot loads, and the (gb, kk, 1) value/slot blocks
+    need lane-broadcast relayouts before every vector compare. Kept behind
+    ``SIBRAR_PEEL_RECOVER_KERNEL=1`` (off by default) as the record of the
+    experiment; `_peel_select` rides the XLA spelling."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -836,15 +849,30 @@ def _peel_select(gather_fn, wmax, excl_cols, excl_mask, k: int, c_real: int,
     kk = min(k, c_real)
     v, p = lax.top_k(vals_flat, kk)  # n = m·t ≪ m·W
 
-    # winner-only index recovery, fused in one kernel: each winner's window
-    # row is fetched from the dead-masked `g` itself (bit-exact values,
-    # exclusion included) into VMEM scratch, its first/count of equal lanes
-    # reduced in-register, and its catalog window id read via a scalar SMEM
-    # lookup — the [B, kk, W] rows tensor and the [B, kk, m] one-hot never
-    # touch HBM (~0.48 ms/step of the 4.18 ms C=100k eval step).
+    # winner-only index recovery. Two spellings, trace-profiled r3 at
+    # B=1024/kk=100/m=168 (v5e): the fused `recover_winners` kernel keeps
+    # the [B, kk, W] rows tensor and the [B, kk, m] one-hot out of HBM but
+    # costs 1.20 ms/step — its 800 scalar-chained row copies per block plus
+    # the (gb, kk, 1) lane-broadcast relayouts dominate — where the XLA
+    # cluster below (gather_subwindows + hit/lane fusions + integer one-hot
+    # widx contraction) runs at ~0.69 ms/step riding full XLA fusion. The
+    # kernel stays behind SIBRAR_PEEL_RECOVER_KERNEL=1 as a measured
+    # negative. The window id uses an INTEGER one-hot contraction and the
+    # winner's row is re-fetched from the dead-masked `g` itself — both
+    # bit-exact (a float einsum would ride the MXU's lossy bf16 passes).
     wslot = p // t
-    lane, n_hit, widx_sel = recover_winners(g, widx, wslot, v,
-                                            interpret=interpret)
+    if _RECOVER_KERNEL:
+        lane, n_hit, widx_sel = recover_winners(g, widx, wslot, v,
+                                                interpret=interpret)
+    else:
+        oh_m = (wslot[:, :, None]
+                == jnp.arange(m, dtype=wslot.dtype))  # [B, kk, m]
+        widx_sel = jnp.sum(jnp.where(oh_m, widx[:, None, :], 0), axis=-1)
+        rows = gather_subwindows(g, wslot, interpret=interpret)  # [B, kk, W]
+        hit = rows == v[:, :, None]  # [B, kk, W]
+        lane_iota = jnp.arange(w, dtype=jnp.int32)
+        lane = jnp.min(jnp.where(hit, lane_iota, w), axis=-1)  # [B, kk]
+        n_hit = jnp.sum(hit, axis=-1)  # in-window duplicates of a winner
     idx = widx_sel * w + jnp.minimum(lane, w - 1)
 
     # exactness checks (docstring item 8), PER ROW. A -inf winner means the

@@ -662,3 +662,30 @@ def test_recover_winners_matches_xla_recovery():
     np.testing.assert_array_equal(
         np.asarray(widx_sel), np.take_along_axis(widx, slots, 1))
     assert int(jnp.max(n_hit)) > 1  # the planted ties are really counted
+
+
+def test_recover_kernel_flag_branch_matches_default(monkeypatch):
+    """The SIBRAR_PEEL_RECOVER_KERNEL=1 branch of _peel_select (the
+    measured-negative fused recovery kernel) must stay bit-identical to the
+    default XLA recovery cluster, exclusion included."""
+    import sibrar_tpu.ops.pallas_peel as pp
+
+    rng = np.random.default_rng(21)
+    b, c, k = 8, 2048, 16
+    s = rng.normal(size=(b, c)).astype(np.float32)
+    cols = np.sort(rng.integers(0, c, size=(b, 40)), axis=1).astype(np.int32)
+    mask = rng.random((b, 40)) < 0.8
+    v0, i0 = peel_masked_topk_scores(jnp.asarray(s), jnp.asarray(cols),
+                                     jnp.asarray(mask), k, t=8,
+                                     interpret=True)
+    monkeypatch.setattr(pp, "_RECOVER_KERNEL", True)
+    # the entry is jitted and the flag is read at trace time: drop the
+    # cached trace so the second call really takes the kernel branch
+    import jax
+
+    jax.clear_caches()
+    v1, i1 = peel_masked_topk_scores(jnp.asarray(s), jnp.asarray(cols),
+                                     jnp.asarray(mask), k, t=8,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
