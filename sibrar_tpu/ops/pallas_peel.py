@@ -35,9 +35,12 @@ Pipeline:
    → the top-t *distinct* values per window, ~17 vector ops/round/vreg;
 6. merged `lax.top_k` over the ``m·t`` peeled values per user (n = m·t ≪
    m·W — this replaces the dominating (n=m·W, k) top-k of the scatter path);
-7. **index recovery for the k winners only**: gather each winner's window row
-   ([B,k,m] one-hot matmul — MXU), take the min lane equal to the winner
-   value, and count equal lanes in the same pass;
+7. **index recovery for the k winners only**: re-gather each winner's
+   window row from the dead-masked `g` (`gather_subwindows`), take the min
+   lane equal to the winner value, count equal lanes in the same pass, and
+   read the winner's catalog window id via an integer [B,k,m] one-hot
+   select-sum (XLA fuses the cluster; the fused-kernel spelling of this
+   step is a measured negative — see `recover_winners`);
 8. **exactness checks** feeding one `lax.cond` dense fallback for the whole
    batch: (a) completeness — no window's t-th distinct value beats the
    merged k-th value (any unpeeled element is strictly below its window's
@@ -63,7 +66,10 @@ hardware parity checks bit-exact):
 - fused matmul→top-k (`peel_masked_topk`, t=12): **6.1 ms**
   (16.9e9 items/s);
 - r3 sublane-rounded m + lane-reduced completeness + t=8 default:
-  scores chain 5.40 ms at C=100k / 14.8 ms at C=501760, fused 5.58 ms.
+  scores chain 5.40 ms at C=100k / 14.8 ms at C=501760, fused 5.58 ms;
+- r3 final (approx window selection + sorted-run gather + GEMM epilogue,
+  trace-profiled device steps): scores chain 4.18 ms at C=100k / 12.2 ms
+  at C=501760, fused dot chain 3.69 ms at C=100k / ~10.0 ms at C=501760.
 
 Peel depth default (t=8, measured sweep in tools/probe_t.py): t=12→8→6→4
 gives 5.98/5.58/5.32/5.16 ms fused at C=100k and 15.7/14.0/13.5/13.5 ms
