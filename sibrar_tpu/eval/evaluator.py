@@ -142,9 +142,14 @@ class FullEvaluator:
                 s = scores
                 if pad:
                     s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-1e30)
+                # honor ANY explicit non-peel method (scatter/full/noscatter/
+                # pallas) as the fallback-free per-shard scatter: those
+                # methods disable _peel_possible (no ok sync, no redo), so
+                # letting the auto gate pick peel here would silently accept
+                # tripped exactness flags
                 _, topk_idx, ok = sharded_masked_topk(
                     s, cols, mask, k_max, mesh,
-                    use_peel=(False if method == "scatter" else None),
+                    use_peel=(None if method in ("auto", "peel") else False),
                     return_ok=True)
             else:
                 _, topk_idx, ok = masked_topk(
@@ -160,6 +165,14 @@ class FullEvaluator:
         if not hasattr(self, "_eval_batch_scatter"):
             self._eval_batch_scatter = self._make_eval_batch(method="scatter")
         return self._eval_batch_scatter
+
+    def _jit_scatter_eval_batch(self):
+        """Cached JITted redo program — shared by the eager driver
+        (`eval_batch`) and the fused whole-eval driver (`evaluate_model`) so
+        a redo never retraces/recompiles per validation."""
+        if not hasattr(self, "_jit_eval_batch_scatter"):
+            self._jit_eval_batch_scatter = jax.jit(self._scatter_eval_batch())
+        return self._jit_eval_batch_scatter
 
     def make_dot_eval_batch(self, user_repr_fn, items, interpret: bool = False):
         """Fused matmul→exclusion→top-k eval batch for plain dot-product
@@ -282,9 +295,7 @@ class FullEvaluator:
             # rare peel-exactness redo (forces one device sync, but this
             # eager path is itself the rare fallback driver; when peel can't
             # be chosen `ok` is constant-True and the sync is skipped)
-            if not hasattr(self, "_jit_eval_batch_scatter"):
-                self._jit_eval_batch_scatter = jax.jit(self._scatter_eval_batch())
-            metrics, cov, _ = self._jit_eval_batch_scatter(scores, u_idxs)
+            metrics, cov, _ = self._jit_scatter_eval_batch()(scores, u_idxs)
         self._per_user_users.append(u_idxs)
         self._valid.append(np.ones(int(u_idxs.shape[0]), bool)
                            if valid is None else np.asarray(valid))
@@ -413,10 +424,7 @@ def evaluate_model(
                 # reuse the evaluator's cached jitted scatter program — a
                 # fresh jax.jit object here would retrace (and recompile)
                 # on every validation that trips a redo
-                if not hasattr(evaluator, "_jit_eval_batch_scatter"):
-                    evaluator._jit_eval_batch_scatter = jax.jit(
-                        evaluator._scatter_eval_batch())
-                scatter_batch = evaluator._jit_eval_batch_scatter
+                scatter_batch = evaluator._jit_scatter_eval_batch()
                 for bi in bad:
                     m_b, c_b, _ = scatter_batch(score_fn(u_dev[bi]),
                                                 u_dev[bi])

@@ -433,15 +433,17 @@ def sharded_masked_topk_dot(
     local_b = (b + bpad) // mesh.shape[DATA_AXIS]
     tb = min(256, -(-local_b // 8) * 8)
 
-    # per-shard slices inside the fused kernel's VMEM domain (local C ≲ 192k)
-    # ride the fully fused windowed chain — the [local_b, local_c] score
-    # matrix then never exists even per shard; larger slices take the
-    # native-layout GEMM epilogue + chunked peel (same preference order as
-    # the single-chip make_dot_eval_batch)
+    # per-shard kernel preference matches the single-chip unification
+    # (make_dot_eval_batch): the GEMM-epilogue + chunked sorted-run chain
+    # (`peel_masked_topk_dot`) measured 4.81 vs 5.58 ms against the windowed
+    # fused kernel at the latter's own home scale, so it leads whenever its
+    # gather-block gate passes; the windowed kernel (`peel_masked_topk`,
+    # row set VMEM-resident, local C ≲ 192k) covers geometries where only
+    # the fused margins are viable
     from sibrar_tpu.ops.pallas_peel import peel_viable
 
     e_local = excl_cols.shape[1]
-    fused_ok = peel_viable(local_c, kk, e_local, fused=True)
+    dot_ok = peel_viable(local_c, kk, e_local)
 
     def local_fn(lu, li, cols, mask):  # lu: [local_b, D]; li: [local_c, D]
         lc, lmask = _local_exclusions(cols, mask, local_c)
@@ -450,7 +452,7 @@ def sharded_masked_topk_dot(
             peel_masked_topk_dot,
         )
 
-        fn = peel_masked_topk if fused_ok else peel_masked_topk_dot
+        fn = peel_masked_topk_dot if dot_ok else peel_masked_topk
         v, i, ok = fn(lu, li, lc, lmask, kk, tb=tb, interpret=interpret,
                       with_fallback=False)
         return _merge_local_topk(v, i, k, kk, local_c, ok=ok)

@@ -162,13 +162,20 @@ class Recommender:
             from sibrar_tpu.ops.sparse import csr_row_gather
 
             user_repr_fn, items = dot_parts
-            fused_ok = peel_viable(self.dataset.n_items_in_split, k,
-                                   csr.max_row_len, fused=True)
+            # same preference as the evaluator's unified dot fast path
+            # (make_dot_eval_batch, commit "Unify the dot fast path"):
+            # the GEMM-epilogue + chunked sorted-run chain beat the windowed
+            # fused kernel 4.81 vs 5.58 ms at its own home scale — the
+            # windowed kernel remains only for geometries where solely the
+            # fused margins are viable (its row set is VMEM-resident, so it
+            # escapes the scores-path gather-block gate)
+            dot_ok = peel_viable(self.dataset.n_items_in_split, k,
+                                 csr.max_row_len)
 
             def step(u_idxs):
                 u_repr = user_repr_fn(u_idxs)
                 cols, mask = csr_row_gather(csr, u_idxs)
-                fn = peel_masked_topk if fused_ok else peel_masked_topk_dot
+                fn = peel_masked_topk_dot if dot_ok else peel_masked_topk
                 # with_fallback=True: serving calls are not inside lax loops,
                 # so the in-graph dense redo only runs when actually needed
                 return fn(u_repr, items, cols, mask, k)

@@ -500,3 +500,35 @@ def test_sharded_masked_topk_fuzz_panel():
             np.testing.assert_allclose(
                 np.take_along_axis(dense, np.asarray(i), 1),
                 np.asarray(ref_v), rtol=1e-6, err_msg=msg + str(kwargs))
+
+
+def test_explicit_non_peel_method_forces_scatter_per_shard(monkeypatch):
+    """An explicit non-peel topk_method ('full') on an item-sharded mesh must
+    pin the fallback-free per-shard scatter (use_peel=False): those methods
+    disable the eager driver's ok sync/redo, so an auto-gated per-shard peel
+    could silently accept tripped exactness flags."""
+    import sibrar_tpu.parallel.mesh as pmesh
+    from sibrar_tpu.config.schema import EvalConfig
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+
+    seen = {}
+    real = pmesh.sharded_masked_topk
+
+    def spy(*a, **kw):
+        seen["use_peel"] = kw.get("use_peel", "missing")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pmesh, "sharded_masked_topk", spy)
+    mesh = make_mesh(8)
+    splits = make_synthetic_splits(n_users=48, n_items=64, n_interactions=900,
+                                   seed=3, with_features=False)
+    ev = FullEvaluator(EvalConfig(top_k=[5], topk_method="full"),
+                       splits["val"], evaluator_name="val", mesh=mesh)
+    assert not ev._peel_possible  # no ok sync/redo on this config...
+    rng = np.random.default_rng(0)
+    u = jnp.arange(16, dtype=jnp.int32)
+    scores = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    ev.eval_batch(u, scores)
+    # ...so the per-shard selection must be the fallback-free scatter
+    assert seen["use_peel"] is False
