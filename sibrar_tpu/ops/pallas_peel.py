@@ -88,7 +88,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from sibrar_tpu.ops.pallas_window import score_windows
+from sibrar_tpu.ops.pallas_window import _pad_excl, score_windows
 from sibrar_tpu.ops.sparse import scatter_fill_rows
 
 _NEG = -1e30
@@ -166,6 +166,9 @@ def _round_m(m: int, nw: int) -> int:
 # rule). A catalog-chunked gather (grid over C with conditional copies)
 # would lift this.
 _GATHER_VMEM_BYTES = 12 << 20
+# Mosaic's hard scoped-VMEM window (double-buffered pipelined blocks must
+# fit it exactly — exceeding it is a compile error, not a slowdown)
+_MOSAIC_VMEM_BYTES = 16 << 20
 _PEEL_MAX_ROW_BYTES = _GATHER_VMEM_BYTES // (8 * 2)  # per-row bytes at gb=8
 
 
@@ -978,16 +981,6 @@ def peel_topk_from_scores(scores: jax.Array, excl_cols: jax.Array,
 
 
 # ------------------------------------------------------------------ end-to-end
-def _pad_excl(excl_cols, excl_mask, b, bp):
-    if excl_cols is None:
-        excl_cols = jnp.zeros((bp, 0), jnp.int32)
-        excl_mask = jnp.zeros((bp, 0), bool)
-    elif bp != b:
-        excl_cols = jnp.pad(excl_cols, ((0, bp - b), (0, 0)))
-        excl_mask = jnp.pad(excl_mask, ((0, bp - b), (0, 0)))
-    return excl_cols, excl_mask
-
-
 @functools.partial(jax.jit,
                    static_argnames=("k", "t", "window", "tb", "bc", "interpret",
                                     "with_fallback"))
@@ -1127,7 +1120,8 @@ def peel_viable(c: int, k: int, e: int, *, window: int = 128,
     nw = -(-c // window)
     if fused and nw * window * 4 > _PEEL_MAX_ROW_BYTES:
         return False
-    margin = 1 if (e == 0 or _use_corrected_wmax(c, e)) else e + 1
+    corrected = e > 0 and _use_corrected_wmax(c, e)
+    margin = 1 if (e == 0 or corrected) else e + 1
     m = _round_m(k + margin, nw)  # matches _peel_select's sublane rounding
     # the scores-path window gather must fit its [gb, m, W] out block plus
     # at least a one-window input chunk in scoped VMEM (m grows with E on
@@ -1135,4 +1129,20 @@ def peel_viable(c: int, k: int, e: int, *, window: int = 128,
     if (not fused and _gather_out_bytes(8, m, window) + 2 * 8 * window * 4
             > _GATHER_VMEM_BYTES):
         return False
+    # the fused path's gather_windows_rows is NOT chunked: the whole
+    # [NW, gb, W] row set AND its [gb, width, W] out block (width = m for
+    # the margin gather, E for the corrected-wmax gather) live in scoped
+    # VMEM double-buffered. The row cap alone admits inputs that consume
+    # the entire window at large-E margins / wide corrected gathers — a
+    # hard Mosaic compile error ("scoped allocation exceeds 16.00M"), so
+    # this bound is against the real 16 MB window, not the conservative
+    # planning budget above.
+    if fused:
+        gwidth = max(m, e if corrected else 0)
+        # >= — at exactly 16 MB there is zero headroom and compile success
+        # is not guaranteed; the scores-path chunked gather covers the
+        # geometry anyway
+        if (2 * 8 * nw * window * 4 + 2 * 8 * gwidth * window * 4
+                >= _MOSAIC_VMEM_BYTES):
+            return False
     return m * t >= k and 2 * m <= nw

@@ -293,11 +293,14 @@ def window_topk_phase2(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
 
     Exactness: (1) top-(k+E+pad) windows by raw max cover the post-exclusion
     top-k (an excluded item inflates at most its own window's max; the single
-    partially-padded window adds one more). (2) Among gathered candidates,
-    excluded items occupy at most E of the top-(k+E+(W−1)) slots and padded
-    zeros at most W−1 (one partial window), so the post-exclusion top-k
-    survives into the finalist set, where exclusion is applied by direct
-    id comparison and the final k re-ranked.
+    partially-padded window adds one more). (2) Candidate lanes beyond
+    ``c_real`` are masked to −∞ BEFORE the finalist top-k — pad items (score
+    0.0 from the zero-padded GEMM) would otherwise beat negative real scores
+    and, when m exceeds the live window count (small catalogs / wide E),
+    flood every finalist slot. (3) Among the masked candidates, excluded
+    items occupy at most E of the top-(k+E) slots, so the post-exclusion
+    top-k survives into the finalist set, where exclusion is applied by
+    direct id comparison and the final k re-ranked.
     """
     nw, b, w = sw_t.shape
     e = excl_cols.shape[1]
@@ -308,6 +311,12 @@ def window_topk_phase2(sw_t: jax.Array, wmax: jax.Array, excl_cols: jax.Array,
     m = min(k + e + (1 if padded else 0), nw)
     _, widx = lax.top_k(wmax, m)  # [B, m]
     cand_v = gather_windows(sw_t, widx, interpret=interpret)  # [B, m*W] flat
+    if padded:
+        # dead-mask pad lanes inside the selected windows (each candidate's
+        # catalog id is known from its window id + lane, a [B, m, W] pass)
+        gid = (widx[:, :, None] * w
+               + lax.broadcasted_iota(jnp.int32, (b, m, w), 2))
+        cand_v = jnp.where((gid >= c_real).reshape(b, m * w), _NEG, cand_v)
     k2 = min(k + e + (w - 1 if padded else 0), m * w)
     v2, p2 = lax.top_k(cand_v, k2)  # finalists
     # map finalist positions back to catalog ids via one-hot matmul (an XLA

@@ -121,11 +121,14 @@ def masked_topk(scores: jax.Array, exclude_csr: DeviceCSR, u_idxs: jax.Array,
       and an (n=k·t, k) merged `lax.top_k` instead of the dominating
       (n=k·W, k) one. Exact (covering theorem + peel-completeness checks
       with a rare dense fallback/redo).
-    - ``auto``: scatter for large catalogs, full for tiny ones. (The
-      noscatter variant measured ~40× slower on v5e — the candidate-phase
-      CSR-bisection gathers do not vectorize well; the round-1 ``pallas``
-      pipeline loses on the top-k margin. W=128 is the measured optimum:
-      W=64 → 13.2 ms, W=32 → 20.9 ms on the scatter chain.)
+    - ``auto``: ``peel`` on TPU whenever `peel_viable` passes (the CLAUDE.md
+      invariant — the production eval path); ``full`` for tiny catalogs
+      (C ≤ 4096 or k ≥ C); ``scatter`` otherwise and on every non-TPU
+      backend. (The noscatter variant measured ~40× slower on v5e — the
+      candidate-phase CSR-bisection gathers do not vectorize well; the
+      round-1 ``pallas`` pipeline loses on the top-k margin. W=128 is the
+      measured optimum: W=64 → 13.2 ms, W=32 → 20.9 ms on the scatter
+      chain.)
     """
     c = scores.shape[-1]
     if method == "auto":
@@ -158,6 +161,15 @@ def masked_topk(scores: jax.Array, exclude_csr: DeviceCSR, u_idxs: jax.Array,
                 "(backend=%s, C=%d, k=%d, E=%d); using 'scatter'",
                 jax.default_backend(), c, k, exclude_csr.max_row_len)
             method = "scatter"
+    elif method == "pallas" and jax.default_backend() != "tpu":
+        # same degrade rule as explicit 'peel': Pallas kernels fail at
+        # runtime off-TPU and configs carry method across backends
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "topk method 'pallas' requested on backend=%s (TPU-only); "
+            "using 'scatter'", jax.default_backend())
+        method = "scatter"
 
     if method == "peel":
         # exclusion rides the peel's window margin + one-hot masking — the

@@ -689,3 +689,41 @@ def test_recover_kernel_flag_branch_matches_default(monkeypatch):
                                      interpret=True)
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_peel_viable_fused_rejects_gather_vmem_blowout():
+    """fused=True must account the gather_windows_rows out block on top of
+    the [NW, gb, W] row set: large-E margins (and wide corrected gathers)
+    blow Mosaic's 16 MB scoped window even when the row cap passes."""
+    from sibrar_tpu.ops.pallas_peel import peel_viable
+
+    # C=196608 passes the row cap (nw=1536 → 12.6 MB double-buffered input);
+    # E=600 rides the margin path (> _CORR_MAX_E) → m=704 → +5.8 MB out
+    assert not peel_viable(196608, 100, 600, fused=True)
+    # E=512 rides the corrected path → the E-wide correction gather
+    # (+4.2 MB) still blows the window
+    assert not peel_viable(196608, 100, 512, fused=True)
+    # small margins at the same catalog stay viable (13.4 MB total)
+    assert peel_viable(196608, 100, 64, fused=True)
+    # the bench geometry must remain viable
+    assert peel_viable(100352, 100, 64, fused=True)
+
+
+def test_explicit_pallas_method_degrades_off_tpu():
+    """Explicit method='pallas' off-TPU must degrade to scatter with a
+    warning (same rule as explicit 'peel') instead of crashing at lowering."""
+    from sibrar_tpu.ops.sparse import DeviceCSR
+    from sibrar_tpu.ops.topk import masked_topk
+
+    rng = np.random.default_rng(6)
+    b, c, k, e = 8, 6000, 10, 5
+    scores = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32))
+    cols = np.sort(rng.integers(0, c, size=(b, e)), axis=1).astype(np.int32)
+    csr = DeviceCSR(indptr=jnp.arange(b + 1, dtype=jnp.int32) * e,
+                    indices=jnp.asarray(cols.ravel()), n_rows=b, n_cols=c,
+                    max_row_len=e)
+    rows = jnp.arange(b, dtype=jnp.int32)
+    v_p, i_p = masked_topk(scores, csr, rows, k, method="pallas")
+    v_s, i_s = masked_topk(scores, csr, rows, k, method="scatter")
+    np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_s))
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_s))

@@ -142,3 +142,22 @@ def test_exact_topk_matches_lax_topk():
     v2, i2 = exact_topk(xv[:, :500], 50)
     rv2, ri2 = lax.top_k(xv[:, :500], 50)
     np.testing.assert_array_equal(np.asarray(v2), np.asarray(rv2))
+
+
+def test_pallas_topk_negative_scores_small_catalog_pad_windows():
+    """When m exceeds the LIVE window count (small catalog, zero-padded to
+    the GEMM block), fully-padded windows get selected and their 0.0 pad
+    lanes would beat all-negative real scores — phase 2 must dead-mask pad
+    lanes BEFORE the finalist top-k or every finalist is garbage."""
+    from sibrar_tpu.ops.pallas_window import pallas_masked_topk
+
+    rng = np.random.default_rng(5)
+    b, d, c, k = 4, 129, 300, 10
+    u = -np.abs(rng.normal(size=(b, d))).astype(np.float32)
+    items = np.abs(rng.normal(size=(c, d))).astype(np.float32)
+    scores = u @ items.T  # strictly negative: pad zeros beat every item
+    ov, oi = lax.top_k(jnp.asarray(scores), k)
+    v, i = pallas_masked_topk(jnp.asarray(u), jnp.asarray(items), None, None,
+                              k, interpret=True)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ov), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(oi))
