@@ -284,7 +284,9 @@ class Trainer:
 
     # ------------------------------------------------------------------- epoch api
     def train_epoch(self) -> Dict[str, float]:
-        n_inter = len(np.asarray(self.data.train_users))
+        # shape only — np.asarray here would device_get the whole array
+        # (tens of MB through a remote tunnel) just to read its length
+        n_inter = int(self.data.train_users.shape[0])
         n_batches, tail = self.epoch_batch_plan(
             n_inter, self.batch_size, self.learn.max_batches_per_epoch)
         if n_batches == 0 and tail == 0:
@@ -491,7 +493,16 @@ class Trainer:
             ckpt = ocp.PyTreeCheckpointer()
             ckpt.save(os.path.join(os.path.abspath(path), "train_state"),
                       state, force=True)
-        except Exception:
+        except Exception as exc:
+            if not isinstance(exc, ImportError):
+                # a real save failure (not just orbax being absent) must be
+                # visible: the msgpack fallback changes which artifact is
+                # newest and load_checkpoint picks by mtime
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "orbax checkpoint save failed (%s); writing msgpack "
+                    "fallback", exc)
             with open(os.path.join(path, "train_state.msgpack"), "wb") as fh:
                 fh.write(flax.serialization.to_bytes(state))
 
@@ -511,11 +522,19 @@ class Trainer:
         }
         orbax_path = os.path.join(os.path.abspath(path), "train_state")
         msgpack_path = os.path.join(path, "train_state.msgpack")
-        if os.path.exists(orbax_path):
+        # when BOTH artifacts exist, restore the newer one: a failed orbax
+        # save falls back to msgpack (save_checkpoint), so a stale orbax dir
+        # from an earlier epoch must not shadow the up-to-date msgpack
+        has_orbax = os.path.exists(orbax_path)
+        has_msgpack = os.path.exists(msgpack_path)
+        if has_orbax and has_msgpack:
+            has_orbax = (os.path.getmtime(orbax_path)
+                         >= os.path.getmtime(msgpack_path))
+        if has_orbax:
             import orbax.checkpoint as ocp
 
             restored = ocp.PyTreeCheckpointer().restore(orbax_path, item=target)
-        elif os.path.exists(msgpack_path):
+        elif has_msgpack:
             with open(msgpack_path, "rb") as fh:
                 restored = flax.serialization.from_bytes(target, fh.read())
         else:

@@ -50,3 +50,38 @@ def test_checkpoint_restores_best_tracking(tmp_path):
     b.load_checkpoint(str(tmp_path / "ckpt"))
     assert b.best_value == a.best_value
     assert b.best_epoch == a.best_epoch
+
+
+def test_newer_msgpack_beats_stale_orbax_dir(tmp_path):
+    """When an orbax save later fails and the msgpack fallback is written,
+    the stale orbax directory must not shadow the newer msgpack on load —
+    load_checkpoint picks by artifact mtime."""
+    import os
+    import time
+
+    import flax
+
+    splits = make_synthetic_splits(n_users=40, n_items=50, n_interactions=700,
+                                   seed=6, with_features=False)
+    a = _trainer(splits)
+    a.train_epoch()
+    ckpt = tmp_path / "ckpt"
+    a.save_checkpoint(str(ckpt))  # whatever backend: creates epoch-1 state
+    a.train_epoch()
+    time.sleep(0.05)  # ensure a strictly newer mtime for the fallback write
+    # simulate a failed orbax save at epoch 2: only the msgpack gets written
+    state2 = {
+        "params": a.state.params, "batch_stats": a.state.batch_stats,
+        "opt_state": a.state.opt_state, "rng": a.state.rng,
+        "step": a.state.step,
+        "best": {"params": a.state.params,
+                 "batch_stats": a.state.batch_stats,
+                 "value": jax.numpy.asarray(a.best_value),
+                 "epoch": jax.numpy.asarray(a.best_epoch)},
+    }
+    with open(ckpt / "train_state.msgpack", "wb") as fh:
+        fh.write(flax.serialization.to_bytes(state2))
+    if os.path.exists(ckpt / "train_state"):  # stale epoch-1 orbax artifact
+        b = _trainer(splits, seed=1)
+        b.load_checkpoint(str(ckpt))
+        assert int(b.state.step) == int(a.state.step)  # epoch-2, not epoch-1
