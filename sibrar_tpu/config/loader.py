@@ -76,11 +76,24 @@ def load_config_dict(config_path: str, ignore_base_configs: bool = False) -> dic
 
 
 def update_nested_dict(d: dict, key: str, value: Any) -> None:
-    """Set ``d['a']['b']['c'] = value`` given key ``'a.b.c'``, creating levels."""
+    """Set ``d['a']['b']['c'] = value`` given key ``'a.b.c'``, creating levels.
+
+    An empty YAML section header (``learn:`` parses to None) is treated as an
+    empty dict; a SCALAR intermediate raises a named error — both previously
+    died with an opaque 'NoneType/... does not support item assignment' on a
+    CLI override like ``-o learn.lr=0.01``."""
     keys = key.split(".")
     cur = d
-    for k in keys[:-1]:
-        cur = cur.setdefault(k, {})
+    for i, k in enumerate(keys[:-1]):
+        nxt = cur.setdefault(k, {})
+        if nxt is None:  # empty YAML section header
+            nxt = {}
+            cur[k] = nxt
+        elif not isinstance(nxt, dict):
+            raise ValueError(
+                f"config key {'.'.join(keys[:i + 1])!r} holds a scalar "
+                f"({nxt!r}); cannot set nested key {key!r}")
+        cur = nxt
     cur[keys[-1]] = value
 
 

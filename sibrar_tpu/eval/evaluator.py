@@ -296,6 +296,25 @@ class FullEvaluator:
             # eager path is itself the rare fallback driver; when peel can't
             # be chosen `ok` is constant-True and the sync is skipped)
             metrics, cov, _ = self._jit_scatter_eval_batch()(scores, u_idxs)
+        self._accumulate(u_idxs, valid, metrics, cov)
+
+    def eval_batch_from_topk(self, u_idxs: jax.Array, topk_idx: jax.Array,
+                             valid: Optional[np.ndarray] = None):
+        """Accumulate one batch from ALREADY-SELECTED exclusion-masked top-k
+        indices (``topk_idx [B, >=k_max]``). Drivers that compute the masked
+        top-k anyway for export (run_gather) feed it here instead of paying
+        the dominant [B, C] exclusion + selection chain a second time inside
+        `eval_batch`."""
+        if topk_idx.shape[1] < self.k_max:
+            raise ValueError(
+                f"topk_idx provides k={topk_idx.shape[1]} < k_max={self.k_max}")
+        if not hasattr(self, "_jit_metrics_from_topk"):
+            self._jit_metrics_from_topk = jax.jit(self._metrics_from_topk)
+        metrics, cov = self._jit_metrics_from_topk(
+            topk_idx[:, :self.k_max], u_idxs)
+        self._accumulate(u_idxs, valid, metrics, cov)
+
+    def _accumulate(self, u_idxs, valid, metrics, cov):
         self._per_user_users.append(u_idxs)
         self._valid.append(np.ones(int(u_idxs.shape[0]), bool)
                            if valid is None else np.asarray(valid))

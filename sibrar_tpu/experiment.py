@@ -61,10 +61,20 @@ def _maybe_wandb(conf: ExperimentConfig):
 
         logging.warning("wandb requested but not installed; logging disabled")
         return None
-    return wandb.init(
+    if getattr(wandb, "run", None) is not None:
+        # under a server-driven sweep agent (sweep.wandb_train_val_agent)
+        # the sweep-controlled run is already open — reuse it so metrics
+        # land on the run the sweep controller watches (reinit=True here
+        # would spawn a fresh run the server never sees), and do NOT finish
+        # it on exit: the agent owns its lifecycle
+        return wandb.run
+    run = wandb.init(
         project=conf.wandb.project, entity=conf.wandb.entity,
         name=conf.run_id or None, tags=list(conf.wandb.tags) or None,
         config=as_dict(conf), reinit=True)
+    if run is not None:
+        run._sibrar_owned = True  # only runs we opened get finished by us
+    return run
 
 
 def _fit_matrix_algorithm(alg, train_ds: RecDataset):
@@ -179,9 +189,18 @@ def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
         if conf.algorithm.endswith("protomf") or conf.algorithm.endswith("protomfs"):
             from sibrar_tpu.eval.explanations import protomf_post_val
 
-            entity = {"u": "user", "i": "item"}.get(conf.algorithm[0], "user")
-            post_val_fn = lambda params, epoch: protomf_post_val(  # noqa: E731
-                params, entity, epoch, results_dir=results_path)
+            # uiprotomf(s) hold BOTH prototype sets — export both sides
+            # (reference post_val runs per contained module, sgd_alg.py)
+            entities = (("user", "item") if conf.algorithm.startswith("ui")
+                        else ("item",) if conf.algorithm[0] == "i"
+                        else ("user",))
+
+            def post_val_fn(params, epoch, _entities=entities):
+                out = {}
+                for ent in _entities:
+                    out.update(protomf_post_val(params, ent, epoch,
+                                                results_dir=results_path))
+                return out
         trainer = Trainer(
             model, train_ds, evaluator, conf.learn, conf.dataset,
             batch_size=conf.loader.batch_size,
@@ -209,7 +228,7 @@ def run_train_val(conf: ExperimentConfig, log_fn=None) -> dict:
 
     yaml_save(os.path.join(results_path, "metrics_val.yml"), metrics)
     log_info_results(metrics)
-    if wandb_run:
+    if wandb_run and getattr(wandb_run, "_sibrar_owned", False):
         wandb_run.finish()
     return metrics
 
@@ -255,7 +274,7 @@ def run_test(conf: ExperimentConfig, log_fn=None) -> dict:
 
     yaml_save(os.path.join(results_path, "metrics_test.yml"), metrics)
     log_info_results(metrics)
-    if wandb_run:
+    if wandb_run and getattr(wandb_run, "_sibrar_owned", False):
         wandb_run.finish()
     return metrics
 
@@ -350,7 +369,13 @@ def run_gather(conf: ExperimentConfig, split_set: str = "test",
         v, i = masked_topk(scores, evaluator.data.exclude_csr, u, k)
         top_idx.append(np.asarray(i)[valid])
         top_logits.append(np.asarray(v)[valid])
-        evaluator.eval_batch(u, scores, valid=valid)
+        if k >= evaluator.k_max:
+            # the export's masked top-k covers every metric cutoff: feed it
+            # to the evaluator instead of re-running the [B, C] exclusion +
+            # selection chain (the dominant per-batch cost) a second time
+            evaluator.eval_batch_from_topk(u, i, valid=valid)
+        else:  # shallow export (k < max cutoff): metrics need their own pass
+            evaluator.eval_batch(u, scores, valid=valid)
     metrics, raw = evaluator.get_results(return_raw_results=True)
 
     # split positives as (user_row, item_position) pairs, rows in `users` order

@@ -103,7 +103,11 @@ def run_sweep(sweep: SweepConfig, results_base: str,
               run_fn=None) -> list[dict]:
     """Execute trials; returns [{trial, params, metrics, results_path}, ...],
     best first. Applies top-N model-file retention like the reference agent
-    (sweep_agent.py:61-78)."""
+    (sweep_agent.py:61-78). Trial-sharded workers keep separate state files
+    (sweep_state_t{offset}.yml) and apply retention over their OWN trials
+    only — cross-worker retention needs a coordinator (the reference gets it
+    from the W&B server; `utils/analysis.collect_results` merges the shards
+    for the final ranking)."""
     from sibrar_tpu.experiment import run_train_val_test
 
     run_fn = run_fn or run_train_val_test
@@ -128,11 +132,21 @@ def run_sweep(sweep: SweepConfig, results_base: str,
             "metrics": {**val_metrics, **test_metrics},
             "results_path": conf.results_path,
         })
-        yaml_save(os.path.join(results_base, "sweep_state.yml"),
+        # per-worker state file: trial-sharded workers (--trial-offset
+        # fan-out, run_agent.py) share results_base and would clobber one
+        # another through a single sweep_state.yml
+        state_name = (f"sweep_state_t{trial_offset}.yml" if trial_offset
+                      else "sweep_state.yml")
+        yaml_save(os.path.join(results_base, state_name),
                   {"records": [{k: v for k, v in r.items()} for r in records]})
 
     sign = 1.0 if sweep.goal == "maximize" else -1.0
-    records.sort(key=lambda r: sign * r["metrics"].get(sweep.metric, -np.inf),
+    # sign-aware missing-metric sentinel: a trial without the sweep metric
+    # must rank LAST under either goal (with a plain -inf sentinel, the
+    # minimize goal's sign flip turned it into +inf — rank FIRST, so a
+    # metric-less trial won best_trial and ate a top-N retention slot)
+    records.sort(key=lambda r: sign * r["metrics"].get(sweep.metric,
+                                                       sign * -np.inf),
                  reverse=True)
     # top-N retention: delete model files of runs outside the top N
     for r in records[sweep.keep_top_runs:]:

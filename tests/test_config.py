@@ -95,3 +95,18 @@ def test_machine_paths_resolution(tmp_path, monkeypatch):
     # env var beats the file
     monkeypatch.setenv("SIBRAR_DATA_ROOT", "/env")
     assert paths.get_dataset_path("ml1m", "random").startswith("/env/")
+
+
+def test_update_nested_dict_none_section_and_scalar_intermediate():
+    """An empty YAML section header (None) accepts nested overrides; a scalar
+    intermediate raises a NAMED error instead of an opaque TypeError."""
+    import pytest as _pytest
+
+    from sibrar_tpu.config.loader import update_nested_dict
+
+    d = {"learn": None}  # `learn:` with no body parses to None
+    update_nested_dict(d, "learn.lr", 0.01)
+    assert d == {"learn": {"lr": 0.01}}
+    d2 = {"learn": 3}
+    with _pytest.raises(ValueError, match="learn"):
+        update_nested_dict(d2, "learn.lr", 0.01)

@@ -230,3 +230,26 @@ def test_sweep_agent_cli_wandb_flag_requires_or_runs(monkeypatch):
 
     with pytest.raises(SystemExit):
         sweep_agent.main([])  # local mode without -c/-o errors
+
+
+def test_minimize_sweep_ranks_missing_metric_last(tmp_path):
+    """A trial without the sweep metric must rank LAST under goal=minimize
+    (the plain -inf sentinel flipped to +inf under the sign and won)."""
+    from sibrar_tpu.sweep import SweepConfig, run_sweep
+
+    calls = []
+
+    def fake_run(conf):
+        i = len(calls)
+        calls.append(conf)
+        if i == 0:
+            return {}, {}  # metric-less trial (e.g. failed/partial run)
+        return {"val/loss": float(i)}, {}
+
+    sweep = SweepConfig(
+        method="grid", metric="val/loss", goal="minimize",
+        parameters={"learn.lr": {"values": [0.1, 0.2, 0.3]}},
+        base_config={"algorithm": "mf", "dataset": {"dataset_path": "x"}})
+    records = run_sweep(sweep, str(tmp_path), run_fn=fake_run)
+    assert records[0]["metrics"].get("val/loss") == 1.0  # real best first
+    assert records[-1]["metrics"] == {}  # metric-less trial last
