@@ -50,13 +50,24 @@ class Recommender:
         When True (default), each user's already-interacted items (the
         split's exclusion lists: train, plus val for a test split) are
         removed from their ranking, exactly as in evaluation.
+    dtype:
+        Optional low-precision serving mode for dot-product models:
+        ``"bfloat16"`` casts the GEMM inputs (user representations and the
+        item table) once at build, turning the score matmul from three
+        bf16 MXU passes (XLA's f32 spelling) into one, with f32
+        accumulation. Selection stays EXACT for the scores it is given —
+        only the scores themselves are bf16-input approximations (~3e-3
+        relative), the standard serving trade. Ignored (with a warning)
+        when the model exposes no ``dot_parts``. Default None = full f32,
+        bit-identical to evaluation.
     """
 
     def __init__(self, score_fn: Callable, dataset: RecDataset,
                  device_data: Optional[DeviceData] = None, *,
                  k: int = 100, batch_size: int = 256,
                  exclude_seen: bool = True, mesh=None,
-                 dot_interpret: bool = False):
+                 dot_interpret: bool = False,
+                 dtype: Optional[str] = None):
         self.dataset = dataset
         self.data = device_data if device_data is not None else dataset.to_device()
         self.k = min(k, dataset.n_items_in_split)
@@ -64,6 +75,7 @@ class Recommender:
         self.exclude_seen = exclude_seen
         self.score_fn = score_fn
         self.mesh = mesh
+        self.dtype = jnp.dtype(dtype) if dtype is not None else None
         # test hook: run the Pallas kernels in interpret mode (CI covers the
         # mesh dot path on the virtual CPU mesh)
         self.dot_interpret = dot_interpret
@@ -86,6 +98,29 @@ class Recommender:
                 n_cols=self.dataset.n_items_in_split, max_row_len=0)
         score_fn = self.score_fn
         dot_parts = getattr(score_fn, "dot_parts", None)
+
+        if self.dtype is not None:
+            if dot_parts is None:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "dtype=%s requested but the score_fn exposes no "
+                    "dot_parts; serving stays in the score_fn's own "
+                    "precision", self.dtype)
+            else:
+                # low-precision GEMM inputs, cast ONCE at build (the item
+                # table) / per step on the tiny [B, d] side. Every branch
+                # below — fused kernels, the sharded chain, and the scatter
+                # redo's score_fn — consumes the same cast parts, so a redo
+                # ranks the same bf16-input scores the fast path ranked.
+                dtype = self.dtype
+                _urf, _items = dot_parts
+                _items = jnp.asarray(_items, dtype)
+                dot_parts = ((lambda u, _f=_urf: _f(u).astype(dtype)), _items)
+
+                def score_fn(u_idxs, _parts=dot_parts):
+                    return jnp.dot(_parts[0](u_idxs), _parts[1].T,
+                                   preferred_element_type=jnp.float32)
 
         if self.mesh is not None and self.mesh.shape.get("item", 1) > 1:
             # multi-chip serving: catalog sharded over the item axis with the
@@ -134,14 +169,20 @@ class Recommender:
                 user_repr_fn, items = dot_parts
                 self._redo_step = jax.jit(scatter_step)
 
-                def step(u_idxs):
+                def step(u_idxs, items_arg):
                     u_repr = user_repr_fn(u_idxs)
                     cols, mask = _excl(u_idxs)
                     v, i, ok = sharded_masked_topk_dot(
-                        u_repr, items, cols, mask, k, mesh, interpret=interp)
+                        u_repr, items_arg, cols, mask, k, mesh,
+                        interpret=interp)
                     return v, i, ok
 
-                return jax.jit(step)
+                # the item table rides as a jit ARGUMENT: closed-over device
+                # arrays bake into the HLO as literal constants (a 514 MB
+                # table blew the remote-compile tunnel's request limit at
+                # C=500k — dev-notes r3 finding)
+                jit_step = jax.jit(step)
+                return lambda u_idxs: jit_step(u_idxs, items)
 
             return jax.jit(scatter_step)
 
@@ -169,24 +210,42 @@ class Recommender:
             # windowed kernel remains only for geometries where solely the
             # fused margins are viable (its row set is VMEM-resident, so it
             # escapes the scores-path gather-block gate)
-            dot_ok = peel_viable(self.dataset.n_items_in_split, k,
-                                 csr.max_row_len)
+            c = self.dataset.n_items_in_split
+            dot_ok = peel_viable(c, k, csr.max_row_len)
+            if dot_ok:
+                # pre-pad the catalog ONCE to the kernel's chunk multiple
+                # (the per-call jnp.pad of a big table costs 0.137 ms/step
+                # at C=100k — evaluator finding, make_dot_eval_batch)
+                bc = 1024
+                cp = -(-c // bc) * bc
+                if cp != c:
+                    items = jnp.pad(items, ((0, cp - c), (0, 0)))
 
-            def step(u_idxs):
+            def step(u_idxs, items_arg, csr_arg):
                 u_repr = user_repr_fn(u_idxs)
-                cols, mask = csr_row_gather(csr, u_idxs)
-                fn = peel_masked_topk_dot if dot_ok else peel_masked_topk
+                cols, mask = csr_row_gather(csr_arg, u_idxs)
                 # with_fallback=True: serving calls are not inside lax loops,
                 # so the in-graph dense redo only runs when actually needed
-                return fn(u_repr, items, cols, mask, k)
+                if dot_ok:
+                    return peel_masked_topk_dot(u_repr, items_arg, cols,
+                                                mask, k, bc=bc, c_real=c)
+                return peel_masked_topk(u_repr, items_arg, cols, mask, k)
 
-            return jax.jit(step)
+            # item table and exclusion CSR ride as jit ARGUMENTS: closed-over
+            # device arrays bake into the HLO as literal constants (a 514 MB
+            # item table blew the remote-compile tunnel's request limit at
+            # C=500k — dev-notes r3 finding). The user table inside
+            # user_repr_fn is the caller's closure; keep user-side tables
+            # small or jit them as arguments upstream.
+            jit_step = jax.jit(step)
+            return lambda u_idxs: jit_step(u_idxs, items, csr)
 
-        def step(u_idxs):
+        def step(u_idxs, csr_arg):
             scores = score_fn(u_idxs)
-            return masked_topk(scores, csr, u_idxs, k, method="auto")
+            return masked_topk(scores, csr_arg, u_idxs, k, method="auto")
 
-        return jax.jit(step)
+        jit_step = jax.jit(step)
+        return lambda u_idxs: jit_step(u_idxs, csr)
 
     # ------------------------------------------------------------------ serve
     def recommend(self, user_ids, k: Optional[int] = None,

@@ -204,3 +204,117 @@ def test_recommend_mesh_dot_path_matches_single_device():
     ids_p, sc_p = plain.recommend(users, return_scores=True)
     np.testing.assert_allclose(sc_p, sc_s, rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(ids_p, ids_s)
+
+
+def test_recommend_bf16_matches_bf16_oracle(splits):
+    """dtype="bfloat16" serving: selection is exact for the bf16-input
+    scores (oracle computed with the same casts, f32 accumulation)."""
+    val = splits["val"]
+    score_fn, u_np, i_np = _dot_score_fn(val.n_users, val.n_items_in_split,
+                                         seed=7)
+    rec = Recommender(score_fn, val, k=10, batch_size=16, dtype="bfloat16")
+    users = np.asarray(val.users_in_split)[:20]
+    ids, scores = rec.recommend(users, return_scores=True)
+
+    full = np.asarray(jnp.dot(jnp.asarray(u_np[users], jnp.bfloat16),
+                              jnp.asarray(i_np, jnp.bfloat16).T,
+                              preferred_element_type=jnp.float32))
+    csr = rec.data.exclude_csr
+    indptr, indices = np.asarray(csr.indptr), np.asarray(csr.indices)
+    cat = np.asarray(val.items_in_split)
+    for r, u in enumerate(users):
+        banned = indices[indptr[u]:indptr[u + 1]]
+        assert not set(ids[r]) & set(cat[banned])
+        row = full[r].copy()
+        row[banned] = -np.inf
+        # values must match the bf16-input oracle exactly (selection is
+        # exact; only the scores are low-precision)
+        np.testing.assert_array_equal(np.sort(scores[r])[::-1],
+                                      np.sort(row, kind="stable")[::-1][:10])
+
+
+def test_recommend_bf16_mesh_dot_matches_single_device():
+    """dtype + mesh compose: the per-shard fused dot chain consumes the cast
+    parts and matches the single-device bf16 recommender."""
+    from sibrar_tpu.parallel.mesh import make_mesh
+
+    sp = make_synthetic_splits(n_users=16, n_items=6001, n_interactions=500,
+                               seed=9)
+    val = sp["val"]
+    score_fn, _, _ = _dot_score_fn(val.n_users, val.n_items_in_split, seed=5)
+    mesh = make_mesh(8, item_parallelism=2)
+    sharded = Recommender(score_fn, val, k=10, batch_size=8, mesh=mesh,
+                          dot_interpret=True, dtype="bfloat16")
+    plain = Recommender(score_fn, val, k=10, batch_size=8, dtype="bfloat16")
+    users = np.asarray(val.users_in_split)[:12]
+    ids_s, sc_s = sharded.recommend(users, return_scores=True)
+    ids_p, sc_p = plain.recommend(users, return_scores=True)
+    np.testing.assert_allclose(sc_p, sc_s, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(ids_p, ids_s)
+
+
+def test_recommend_dtype_without_dot_parts_warns_and_serves(splits, caplog):
+    """dtype on a non-dot score_fn: warn once, serve in native precision."""
+    import logging
+
+    val = splits["val"]
+    _, u_np, i_np = _dot_score_fn(val.n_users, val.n_items_in_split, seed=3)
+    full = jnp.asarray(u_np @ i_np.T)
+
+    def score_fn(u):  # no dot_parts attribute
+        return full[u]
+
+    with caplog.at_level(logging.WARNING, logger="sibrar_tpu.serve"):
+        rec = Recommender(score_fn, val, k=5, batch_size=8, dtype="bfloat16")
+    assert any("dot_parts" in m for m in caplog.messages)
+    ids = rec.recommend(np.asarray(val.users_in_split)[:4])
+    assert ids.shape == (4, 5)
+
+
+def test_serve_recs_cli(tmp_path):
+    """serve_recs.py end-to-end: fit through the experiment CLI, serve lists
+    to CSV and JSONL, ids stay inside the catalog and shapes line up."""
+    import run_experiment
+    import serve_recs
+    from sibrar_tpu.data.synthetic import write_reference_artifacts
+
+    splits = make_synthetic_splits(n_users=30, n_items=40,
+                                   n_interactions=600, seed=15)
+    art = str(tmp_path / "data")
+    write_reference_artifacts(art, splits)
+    res = str(tmp_path / "run")
+    conf_path = str(tmp_path / "conf.yml")
+    with open(conf_path, "w") as fh:
+        yaml.safe_dump({
+            "learn": {"n_epochs": 1, "lr": 0.005, "rec_loss": "bpr",
+                      "optimizing_metric": "ndcg@5"},
+            "eval": {"top_k": [5], "metrics": ["ndcg"]},
+            "loader": {"batch_size": 32, "eval_batch_size": 32},
+            "dataset": {"n_negative_samples": 2},
+            "model": {"embedding_dim": 8},
+            "results_path": res,
+        }, fh)
+    run_experiment.main(["-a", "mf", "-d", art, "-t", "train_val",
+                         "-c", conf_path])
+
+    csv_out = str(tmp_path / "recs.csv")
+    assert serve_recs.main(["-r", res, "-s", "val", "-k", "5", "-u", "0,3,7",
+                            "--scores", "-o", csv_out]) == 0
+    lines = open(csv_out).read().strip().splitlines()
+    assert lines[0].split(",")[:2] == ["user", "item_0"]
+    assert len(lines) == 4 and len(lines[1].split(",")) == 11
+
+    jsonl_out = str(tmp_path / "recs.jsonl")
+    users_file = str(tmp_path / "users.txt")
+    open(users_file, "w").write("1\n2\n")
+    assert serve_recs.main(["-r", res, "-s", "val", "-k", "5",
+                            "-u", users_file, "-o", jsonl_out]) == 0
+    import json as _json
+
+    rows = [_json.loads(line) for line in open(jsonl_out)]
+    assert [r["user"] for r in rows] == [1, 2]
+    cat = set(int(i) for i in
+              np.asarray(make_synthetic_splits(
+                  n_users=30, n_items=40, n_interactions=600,
+                  seed=15)["val"].items_in_split))
+    assert all(set(r["items"]) <= cat for r in rows)

@@ -4,7 +4,7 @@ Builds a dot-product recommender at production scale and measures per-call
 latency of `recommend` for a fixed user batch (the jitted step never
 retraces). One jitted program.
 
-Usage: python tools/probe_serve.py [C] [batch]
+Usage: python tools/probe_serve.py [C] [batch] [dtype]
 """
 import json
 import os
@@ -25,6 +25,7 @@ import jax.numpy as jnp  # noqa: E402
 def main():
     C = int(sys.argv[1]) if len(sys.argv) > 1 else 100_352
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    dtype = sys.argv[3] if len(sys.argv) > 3 else None
     n_users, d, k = 50_000, 256, 100
     from sibrar_tpu.data.dataset import RecDataset
     from sibrar_tpu.serve import Recommender
@@ -46,7 +47,7 @@ def main():
         return u_mat[u] @ items.T
 
     score_fn.dot_parts = (lambda u: u_mat[u], items)
-    rec = Recommender(score_fn, ds, k=k, batch_size=bs)
+    rec = Recommender(score_fn, ds, k=k, batch_size=bs, dtype=dtype)
 
     users = rng.integers(0, n_users, bs).astype(np.int32)
     rec.recommend(users)  # compile + warm
@@ -58,7 +59,7 @@ def main():
         lat.append(time.perf_counter() - t0)
     lat = np.array(lat) * 1e3
     print(json.dumps({
-        "catalog": C, "batch": bs, "k": k,
+        "catalog": C, "batch": bs, "k": k, "dtype": dtype or "float32",
         "p50_ms": round(float(np.percentile(lat, 50)), 2),
         "p95_ms": round(float(np.percentile(lat, 95)), 2),
         "users_per_sec": round(bs / (np.percentile(lat, 50) / 1e3)),
