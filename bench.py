@@ -58,12 +58,17 @@ AUDIO_D, TEXT_D = 256, 384
 SB_HIDDEN = [512, 512, 256]
 SB_COMMON = 512
 
+# embedding-table-scale MF train point (row-sparse adam, train/row_adam.py)
+MF_ROWS = 500_000
+MF_STEPS = 50
+
 if QUICK:
     B, C, D, K, EXCL, ITERS = 64, 2048, 32, 10, 8, 3
     C_LARGE, ITERS_LARGE = 8192, 2
     TR_USERS, TR_ITEMS, TR_INTER, TR_BATCH, TR_NEG, TR_STEPS = (
         400, 500, 8000, 64, 4, 5)
     AUDIO_D, TEXT_D, SB_HIDDEN, SB_COMMON = 16, 24, [32, 32], 32
+    MF_ROWS, MF_STEPS = 3000, 5
 
 
 # --------------------------------------------------------------- eval hot path
@@ -371,6 +376,60 @@ def bench_train_jax() -> tuple[float, float]:
     return TR_STEPS / dt, dt / TR_STEPS * 1e3
 
 
+def bench_train_mf_sparse() -> tuple[float, float]:
+    """Steps/sec of MF training at embedding-table scale (500k users ×
+    500k items, d=256) with `learn.sparse_tables` row-adam updates.
+
+    The dense-adam baseline at this scale is 17.0 ms/step (58.7 steps/s,
+    425 s compile — tools/probe_mf_large.py); the sparse path's device step
+    is ~2 ms, bounded by one full-table copy per scatter that XLA inserts
+    (see train/row_adam.py), and the wall number here carries the usual
+    ~2-3 ms/step remote-tunnel sync."""
+    import jax
+    import jax.numpy as jnp
+
+    from sibrar_tpu.config.schema import DatasetConfig, EvalConfig, LearningConfig
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.mf import SGDMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    n, bs, d, steps = MF_ROWS, 512, 256, MF_STEPS
+    rng = np.random.default_rng(3)
+    n_inter = steps * bs + bs
+    pairs = np.unique(np.stack([rng.integers(0, n, n_inter),
+                                rng.integers(0, n, n_inter)], axis=1), axis=0)
+    train = RecDataset(split_set="train", n_users=n, n_items=n,
+                       interactions=pairs.astype(np.int64),
+                       train_interactions=pairs.astype(np.int64))
+    device_data = train.to_device()
+    model = SGDMatrixFactorization(n_users=n, n_items=n, embedding_dim=d)
+    learn = LearningConfig(n_epochs=1, lr=1e-3, rec_loss="bpr",
+                           max_batches_per_epoch=steps,
+                           optimizing_metric="ndcg@10",
+                           sparse_tables=True, sparse_table_min_rows=1024)
+    evaluator = FullEvaluator(EvalConfig(top_k=[10]), train,
+                              device_data=device_data)
+    trainer = Trainer(model, train, evaluator, learn,
+                      DatasetConfig(n_negative_samples=10),
+                      batch_size=bs, seed=0, device_data=device_data,
+                      init_for_training=False)
+    trainer.state = trainer.state.replace(
+        params=jax.tree_util.tree_map(
+            lambda x: jnp.asarray(
+                rng.normal(scale=0.05, size=x.shape).astype(x.dtype))
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            trainer.state.params),
+        opt_state=trainer.init_opt_state(trainer.state.params))
+    trainer.train_epoch()  # compile + warm
+    t0 = time.perf_counter()
+    m = trainer.train_epoch()
+    jax.block_until_ready(trainer.state.params)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(m["train/loss"]), m
+    return steps / dt, dt / steps * 1e3
+
+
 def bench_train_torch() -> float:
     """Reference-shaped SBNet train step in eager torch (CPU build): sample ONE
     modality per step like the reference single-branch trainer
@@ -520,6 +579,7 @@ def main():
     large = bench_jax_large()
     large.update(bench_jax_large_dot())
     train_sps, train_ms = bench_train_jax()
+    mf_sps, mf_ms = bench_train_mf_sparse()
     base = bench_torch()
     base_train = bench_train_torch()
     extras = {
@@ -528,6 +588,8 @@ def main():
         **large,
         "train_steps_per_sec": round(train_sps, 2),
         "train_ms_per_step": round(train_ms, 3),
+        "train_mf500k_sparse_steps_per_sec": round(mf_sps, 2),
+        "train_mf500k_sparse_ms_per_step": round(mf_ms, 3),
         "train_vs_torch_cpu": (round(train_sps / base_train, 2)
                                if base_train == base_train else None),
         "baseline": "torch-CPU in-image (reference GPU numbers unpublished)",

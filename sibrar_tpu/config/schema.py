@@ -178,10 +178,26 @@ class LearningConfig:
     # 0.60 ms of the 2.9 ms SBNet step) at a documented precision cost —
     # OFF by default to keep the reference's f32 torch-Adam semantics.
     moment_dtype: Optional[str] = None  # None/float32 | bfloat16
+    # row-wise sparse optimizer updates for large id-embedding tables
+    # (torch.optim.SparseAdam semantics): each step touches ONLY the rows the
+    # batch gathered, so step cost scales with the batch instead of paying
+    # full-table HBM passes for dense grads + adam moments. Opt-in — it is a
+    # different (standard) optimizer from dense adam: untouched rows keep
+    # their momentum frozen instead of coasting. Applies to models that
+    # declare `table_index_map` (MF/bias/ProtoMF/CLCRec id tables) and only
+    # to tables with >= sparse_table_min_rows rows; requires optimizer=adam.
+    sparse_tables: bool = False
+    sparse_table_min_rows: int = 16384
 
     def validate(self) -> None:
         if self.optimizer not in ("adam", "adagrad", "adamw"):
             raise ValueError(f"unsupported optimizer {self.optimizer!r}")
+        if self.sparse_tables and self.optimizer != "adam":
+            raise ValueError(
+                "sparse_tables requires optimizer='adam' (SparseAdam "
+                f"semantics); got {self.optimizer!r}")
+        if self.sparse_table_min_rows < 1:
+            raise ValueError("sparse_table_min_rows must be >= 1")
         if self.moment_dtype not in (None, "float32", "bfloat16"):
             raise ValueError(
                 f"unsupported moment_dtype {self.moment_dtype!r}")

@@ -31,6 +31,10 @@ class _FeatureMF(RecModel):
     use_item_bias: bool = False
     use_global_bias: bool = False
 
+    # row-sparse optimizer eligibility (LearningConfig.sparse_tables)
+    table_index_map = {"user_embeddings": "user", "item_embeddings": "item",
+                       "user_bias": "user", "item_bias": "item"}
+
     def setup(self):
         self.user_embeddings = Embedding(self.n_users, self.embedding_dim)
         self.item_embeddings = Embedding(self.n_items, self.embedding_dim)

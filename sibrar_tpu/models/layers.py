@@ -57,7 +57,16 @@ def embedding_init(key, shape, dtype=jnp.float32):
 
 
 class Embedding(nn.Module):
-    """nn.Embed with the reference's N(0, .1/dim) initialization."""
+    """nn.Embed with the reference's N(0, .1/dim) initialization.
+
+    Row injection (sparse-table training): when the caller supplies a
+    ``rows`` variable collection (`Trainer`'s sparse train step gathers
+    ``table[idxs]`` OUTSIDE autodiff and differentiates w.r.t. the rows),
+    the module returns the injected rows instead of gathering — so the
+    backward never materializes a dense ``[n, d]`` scatter-add grad for the
+    table. The injected rows MUST be the gather of exactly the ``idxs`` this
+    call receives; the shape assert catches index-contract violations
+    (see `train/row_adam.py` and `LearningConfig.sparse_tables`)."""
 
     num_embeddings: int
     features: int
@@ -66,6 +75,15 @@ class Embedding(nn.Module):
     def __call__(self, idxs):
         table = self.param(
             "embedding", embedding_init, (self.num_embeddings, self.features))
+        if self.has_variable("rows", "rows"):
+            rows = self.get_variable("rows", "rows")
+            expect = tuple(idxs.shape) + (self.features,)
+            if tuple(rows.shape) != expect:
+                raise ValueError(
+                    f"injected rows {rows.shape} do not match the gather "
+                    f"{expect} for table {self.name!r} — table_index_map "
+                    "source mismatch")
+            return rows
         return jnp.take(table, idxs, axis=0)
 
 

@@ -21,6 +21,8 @@ class SGDBaseline(RecModel):
     n_users: int
     n_items: int
 
+    table_index_map = {"user_bias": "user", "item_bias": "item"}
+
     def setup(self):
         self.user_bias = Embedding(self.n_users, 1)
         self.item_bias = Embedding(self.n_items, 1)
@@ -47,6 +49,12 @@ class SGDMatrixFactorization(RecModel):
     use_user_bias: bool = False
     use_item_bias: bool = False
     use_global_bias: bool = False
+
+    # row-sparse optimizer eligibility (LearningConfig.sparse_tables):
+    # each named Embedding is applied once per training forward with
+    # exactly these index batches (see train/row_adam.find_sparse_tables)
+    table_index_map = {"user_embeddings": "user", "item_embeddings": "item",
+                       "user_bias": "user", "item_bias": "item"}
 
     def setup(self):
         self.user_embeddings = Embedding(self.n_users, self.embedding_dim)

@@ -83,6 +83,9 @@ class UProtoMF(RecModel):
     sim_proto_weight: float = 1.0
     sim_batch_weight: float = 1.0
 
+    # row-sparse optimizer eligibility (LearningConfig.sparse_tables)
+    table_index_map = {"user_embed": "user", "item_embed": "item"}
+
     def setup(self):
         self.user_embed = Embedding(self.n_users, self.embedding_dim)
         self.item_embed = Embedding(self.n_items, self.n_prototypes)
@@ -119,6 +122,8 @@ class IProtoMF(RecModel):
     n_prototypes: int = 20
     sim_proto_weight: float = 1.0
     sim_batch_weight: float = 1.0
+
+    table_index_map = {"user_embed": "user", "item_embed": "item"}
 
     def setup(self):
         self.user_embed = Embedding(self.n_users, self.n_prototypes)
@@ -167,6 +172,8 @@ class UIProtoMF(RecModel):
     u_sim_batch_weight: float = 1.0
     i_sim_proto_weight: float = 1.0
     i_sim_batch_weight: float = 1.0
+
+    table_index_map = {"user_embed": "user", "item_embed": "item"}
 
     def setup(self):
         self.user_embed = Embedding(self.n_users, self.embedding_dim)
@@ -243,6 +250,9 @@ class UProtoMFs(RecModel):
     embedding_dim: int = 100
     n_prototypes: int = 20
 
+    # item_embed is nn.Embed (no row-injection hook) — user side only
+    table_index_map = {"user_embed": "user"}
+
     def setup(self):
         self.user_embed = Embedding(self.n_users, self.embedding_dim)
         self.item_embed = nn.Embed(self.n_items, self.n_prototypes,
@@ -271,6 +281,9 @@ class IProtoMFs(RecModel):
     n_items: int
     embedding_dim: int = 100
     n_prototypes: int = 20
+
+    # user_embed is nn.Embed (no row-injection hook) — item side only
+    table_index_map = {"item_embed": "item"}
 
     def setup(self):
         self.user_embed = nn.Embed(self.n_users, self.n_prototypes,
@@ -305,6 +318,8 @@ class UIProtoMFs(RecModel):
     embedding_dim: int = 100
     u_n_prototypes: int = 20
     i_n_prototypes: int = 20
+
+    table_index_map = {"user_embed": "user", "item_embed": "item"}
 
     def setup(self):
         self.user_embed = Embedding(self.n_users, self.embedding_dim)

@@ -45,7 +45,8 @@ class TrainState:
     step: jax.Array
 
 
-def build_optimizer(learn: LearningConfig) -> optax.GradientTransformation:
+def build_optimizer(learn: LearningConfig, mask=None
+                    ) -> optax.GradientTransformation:
     """adam/adagrad/adamw with torch-equivalent weight-decay placement:
     for adam/adagrad the decay enters the gradient before the moment updates
     (torch's L2-style `weight_decay`); adamw uses decoupled decay.
@@ -53,7 +54,12 @@ def build_optimizer(learn: LearningConfig) -> optax.GradientTransformation:
     ``learn.moment_dtype = "bfloat16"`` stores the adam first moment in
     bf16 (optax ``mu_dtype``) — an opt-in production knob that trims
     optimizer HBM traffic on large tables; the default keeps the
-    reference's all-f32 torch-Adam semantics bit-for-bit."""
+    reference's all-f32 torch-Adam semantics bit-for-bit.
+
+    ``mask``: optional ``optax.masked`` mask (pytree-of-bools or callable
+    on params). Leaves masked False are left to the row-sparse table
+    optimizer (`train/row_adam.py`): no dense moment buffers are allocated
+    for them and their (structurally zero) grads pass through untouched."""
     mu_dtype = (jnp.bfloat16 if learn.moment_dtype == "bfloat16" else None)
     if learn.optimizer == "adam":
         txs = []
@@ -61,17 +67,18 @@ def build_optimizer(learn: LearningConfig) -> optax.GradientTransformation:
             txs.append(optax.add_decayed_weights(learn.wd))
         txs += [optax.scale_by_adam(mu_dtype=mu_dtype),
                 optax.scale(-learn.lr)]
-        return optax.chain(*txs)
-    if learn.optimizer == "adagrad":
+        tx = optax.chain(*txs)
+    elif learn.optimizer == "adagrad":
         txs = []
         if learn.wd:
             txs.append(optax.add_decayed_weights(learn.wd))
         txs += [optax.scale_by_rss(initial_accumulator_value=0.0), optax.scale(-learn.lr)]
-        return optax.chain(*txs)
-    if learn.optimizer == "adamw":
-        return optax.adamw(learn.lr, weight_decay=learn.wd,
-                           mu_dtype=mu_dtype)
-    raise ValueError(f"unsupported optimizer {learn.optimizer!r}")
+        tx = optax.chain(*txs)
+    elif learn.optimizer == "adamw":
+        tx = optax.adamw(learn.lr, weight_decay=learn.wd, mu_dtype=mu_dtype)
+    else:
+        raise ValueError(f"unsupported optimizer {learn.optimizer!r}")
+    return optax.masked(tx, mask) if mask is not None else tx
 
 
 class Trainer:
@@ -128,18 +135,19 @@ class Trainer:
             aggregator=learn.loss_aggregator,
             train_neg_strategy=dataset_conf.negative_sampling_strategy,
         )
-        self.optimizer = build_optimizer(learn)
         self.profile_dir = profile_dir
 
         rng = jax.random.PRNGKey(seed)
         if init_for_training:
             variables = init_model(model, rng, self.data, n_neg=self.n_neg)
-            opt_state = self.optimizer.init(variables["params"])
+            self._setup_optimizer(variables["params"])
+            opt_state = self.init_opt_state(variables["params"])
         else:
             # load-only path (run_test / run_gather): structure via eval_shape,
             # no init compile, no optimizer state — the checkpoint overwrites
             # params/batch_stats right after construction
             variables = init_model_abstract(model, rng, self.data, n_neg=self.n_neg)
+            self._setup_optimizer(variables["params"])
             opt_state = ()
         self.state = TrainState(
             params=variables["params"],
@@ -157,6 +165,47 @@ class Trainer:
         self.best_batch_stats = None
         self.best_value = -np.inf
         self.best_epoch = -1
+
+    def _setup_optimizer(self, params):
+        """Build the optimizer, splitting off row-sparse tables when
+        ``learn.sparse_tables`` is on: big id-embedding tables the model
+        declares in ``table_index_map`` leave the dense optax chain
+        (`optax.masked` — no dense moment buffers) and update through
+        `train/row_adam.row_adam_update` with per-step touched rows only.
+        Works on abstract (eval_shape) params — only shapes are read."""
+        self._sparse_spec = {}
+        if self.learn.sparse_tables:
+            from sibrar_tpu.train.row_adam import find_sparse_tables
+
+            self._sparse_spec = find_sparse_tables(
+                self.model, params, self.learn.sparse_table_min_rows)
+        mask = None
+        if self._sparse_spec:
+            names = frozenset(self._sparse_spec)
+
+            def mask(params):  # noqa: F811 — optax.masked callable form
+                from flax import traverse_util
+
+                flat = traverse_util.flatten_dict(params)
+                return traverse_util.unflatten_dict({
+                    p: not (len(p) >= 2 and p[0] in names
+                            and p[-1] == "embedding")
+                    for p in flat})
+
+        self.optimizer = build_optimizer(self.learn, mask)
+
+    def init_opt_state(self, params):
+        """Fresh optimizer state for ``params`` — the masked dense chain's
+        state plus zero row-adam moments for each sparse table. Public so
+        benches/probes that fill params host-side can rebuild the state."""
+        dense = self.optimizer.init(params)
+        if not self._sparse_spec:
+            return dense
+        from sibrar_tpu.train.row_adam import row_adam_init
+
+        return {"dense": dense,
+                "rows": {name: row_adam_init(params[name]["embedding"])
+                         for name in self._sparse_spec}}
 
     def _apply_tower_sharding(self):
         """Tensor-parallel placement of interaction-tower first layers over
@@ -186,9 +235,15 @@ class Trainer:
             v["batch_stats"] = state.batch_stats
         return v
 
-    def _loss_fn(self, params, state: TrainState, u, i_global, labels, rngs):
+    def _loss_fn(self, params, state: TrainState, u, i_global, labels, rngs,
+                 rows=None):
         variables = self._model_variables(state)
         variables["params"] = params
+        if rows is not None:
+            # sparse-table training: inject the pre-gathered embedding rows
+            # (differentiated instead of the tables — layers.Embedding
+            # returns them, so no dense [n, d] grad ever materializes)
+            variables["rows"] = {name: {"rows": r} for name, r in rows.items()}
         mutable = ["losses"] + (["batch_stats"] if state.batch_stats else [])
         logits, aux = self.model.apply(
             variables, u, i_global, train=True, rngs=rngs, mutable=mutable)
@@ -230,10 +285,55 @@ class Trainer:
                 jnp.zeros((idxs.shape[0], 1 + n_neg), jnp.float32)
                 .at[:, 0].set(1.0), mesh, flat=flat)
 
+            rngs = {"sample": k_sample, "dropout": k_drop}
+            if self._sparse_spec:
+                # row-sparse tables: gather the touched rows OUTSIDE autodiff
+                # and differentiate w.r.t. them (layers.Embedding consumes the
+                # injected rows), then row-adam only those rows — the dense
+                # [n, d] grad scatter and full-table moment passes of dense
+                # adam never happen (train/row_adam.py)
+                from sibrar_tpu.train.row_adam import row_adam_update
+
+                idx_map = {"user": u, "item": i_global}
+                rows = {name: state.params[name]["embedding"][idx_map[src]]
+                        for name, src in self._sparse_spec.items()}
+                grad_fn = jax.value_and_grad(
+                    self._loss_fn, argnums=(0, 6), has_aux=True)
+                (total, (loss, reg, new_bs)), (grads, g_rows) = grad_fn(
+                    state.params, state, u, i_global, labels, rngs, rows)
+                updates, new_dense = self.optimizer.update(
+                    grads, state.opt_state["dense"], state.params)
+                # masked leaves pass their (structurally zero) grads through;
+                # apply_updates adds zero there — the row updates below write
+                # the real new tables
+                new_params = optax.apply_updates(state.params, updates)
+                t = state.step + 1
+                new_rows_state = {}
+                for name, src in self._sparse_spec.items():
+                    # row-update from the ORIGINAL table, not new_params':
+                    # apply_updates' add of the (zero) passthrough grad is
+                    # semantically a no-op, and reading through it forced a
+                    # full-table materialization per step (0.46 ms each on
+                    # [500k, 256]); from state.params the add chain is DCE'd
+                    table, ropt = row_adam_update(
+                        state.params[name]["embedding"],
+                        state.opt_state["rows"][name],
+                        idx_map[src], g_rows[name], t,
+                        lr=self.learn.lr, wd=self.learn.wd)
+                    sub = dict(new_params[name])
+                    sub["embedding"] = table
+                    new_params = dict(new_params)
+                    new_params[name] = sub
+                    new_rows_state[name] = ropt
+                state = state.replace(
+                    params=new_params,
+                    opt_state={"dense": new_dense, "rows": new_rows_state},
+                    batch_stats=new_bs, step=t)
+                return state, jnp.stack([total, loss, reg])
+
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (total, (loss, reg, new_bs)), grads = grad_fn(
-                state.params, state, u, i_global, labels,
-                {"sample": k_sample, "dropout": k_drop})
+                state.params, state, u, i_global, labels, rngs)
             updates, new_opt = self.optimizer.update(
                 grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
