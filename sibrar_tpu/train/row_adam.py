@@ -99,16 +99,23 @@ def row_adam_update(
     new_rows = p_rows - lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
 
     # plain set-scatter, NO lowering hints (duplicates write identical
-    # values — deterministic). Measured on [500k, 256] (v5e traces):
-    # - this spelling: XLA splits each scatter into a full-table copy
-    #   fusion (~0.46 ms) + an in-place row write (~0.04 ms) — the copies
-    #   are the remaining sparse-path tax (~1.4 ms/step), still ~8× under
-    #   dense adam's full-table moment passes;
-    # - `indices_are_sorted=True` is a measured NEGATIVE: it flips the
-    #   scatter lowering to a full-scan merge, 1.6 ms per scatter
-    #   (10 ms/step total);
-    # - drop-mode dedup + `unique_indices=True` is equally bad (two
-    #   full-table passes per scatter).
+    # values — deterministic). Measured on [500k, 256] (v5e traces +
+    # optimized HLO): XLA runs each scatter IN PLACE as a kCustom fusion,
+    # but the row loop is sequential at ~81 ns/row (0.46 ms for 5632 item
+    # rows; the user table's 512 rows cost 0.04 ms) — ~1.4 ms/step total,
+    # still ~8× under dense adam's full-table moment passes. Alternatives,
+    # all measured NEGATIVES:
+    # - `indices_are_sorted=True` flips the lowering to a full-scan merge
+    #   (1.6 ms per scatter, 10 ms/step total); drop-mode dedup +
+    #   `unique_indices=True` is equally bad (two full passes each);
+    # - an optimization_barrier between the row math and the scatter
+    #   changes nothing — the 81 ns/row is the scatter loop itself;
+    # - a Pallas per-row-DMA scatter kernel is TILING-BLOCKED: Mosaic
+    #   rejects single-row slices of (8,128)-tiled buffers ("slice shape
+    #   along dimension 0 must be aligned to tiling (8)"), and the
+    #   8-aligned block read-modify-write alternative costs 2 DMA issues +
+    #   16 rows of traffic per update plus same-block serialization —
+    #   strictly worse than XLA's loop at these row counts.
     return (
         table.at[s_idx].set(new_rows),
         {"mu": opt["mu"].at[s_idx].set(mu_rows),
