@@ -11,6 +11,8 @@ Semantics under test (torch.optim.SparseAdam parity):
   learning progresses, untouched rows keep their init values, checkpoints
   round-trip.
 """
+import os
+
 import numpy as np
 import optax
 import pytest
@@ -247,6 +249,80 @@ def test_sparse_tables_on_mesh_matches_single_device():
     l_mesh, t_mesh = run(make_mesh(8))
     np.testing.assert_allclose(l_plain, l_mesh, rtol=1e-5)
     np.testing.assert_allclose(t_plain, t_mesh, rtol=1e-5, atol=1e-7)
+
+
+def test_sparse_tables_through_cli(tmp_path):
+    """learn.sparse_tables plumbs from YAML through run_experiment to the
+    trainer: the run completes with finite metrics and the conf round-trips."""
+    import yaml
+
+    import run_experiment
+    from sibrar_tpu.data.synthetic import (
+        make_synthetic_splits,
+        write_reference_artifacts,
+    )
+
+    splits = make_synthetic_splits(n_users=30, n_items=40,
+                                   n_interactions=600, seed=15)
+    art = str(tmp_path / "data")
+    write_reference_artifacts(art, splits)
+    res = str(tmp_path / "run")
+    conf_path = str(tmp_path / "conf.yml")
+    with open(conf_path, "w") as fh:
+        yaml.safe_dump({
+            "learn": {"n_epochs": 1, "lr": 0.005, "rec_loss": "bpr",
+                      "optimizing_metric": "ndcg@5",
+                      "sparse_tables": True, "sparse_table_min_rows": 1},
+            "eval": {"top_k": [5], "metrics": ["ndcg"]},
+            "loader": {"batch_size": 32, "eval_batch_size": 32},
+            "dataset": {"n_negative_samples": 2},
+            "model": {"embedding_dim": 8},
+            "results_path": res,
+        }, fh)
+    run_experiment.main(["-a", "mf", "-d", art, "-t", "train_val",
+                         "-c", conf_path])
+    import glob
+
+    mv = glob.glob(os.path.join(res, "**", "metrics_val.yml"),
+                   recursive=True)
+    assert mv, os.listdir(res)
+    metrics = yaml.safe_load(open(mv[0]))
+    assert np.isfinite(metrics["val/ndcg@5"])
+    cy = glob.glob(os.path.join(res, "**", "conf.yml"), recursive=True)
+    saved = yaml.safe_load(open(cy[0]))
+    assert saved["learn"]["sparse_tables"] is True
+
+
+def test_sparse_tables_protomf_learns():
+    """A reg-loss model (UProtoMF: prototype/batch losses flow through the
+    user rows) trains under sparse_tables and improves its loss."""
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.protomf import UProtoMF
+    from sibrar_tpu.train.trainer import Trainer
+
+    sp = make_synthetic_splits(n_users=40, n_items=60, n_interactions=800,
+                               seed=2)
+    train = sp["train"]
+    # n_prototypes >= 8: item_embed is [n_items, n_prototypes] and the
+    # features>=8 sparse gate must admit it
+    model = UProtoMF(n_users=train.n_users, n_items=train.n_items,
+                     embedding_dim=16, n_prototypes=8)
+    learn = LearningConfig(n_epochs=3, lr=5e-3, rec_loss="bpr",
+                           optimizing_metric="ndcg@10",
+                           sparse_tables=True, sparse_table_min_rows=1)
+    ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), sp["val"])
+    tr = Trainer(model, train, ev, learn,
+                 DatasetConfig(n_negative_samples=4), batch_size=32, seed=0)
+    assert set(tr._sparse_spec) == {"user_embed", "item_embed"}
+    losses = [tr.train_epoch()["train/loss"] for _ in range(3)]
+    assert losses[-1] < losses[0]
+    assert np.isfinite(tr.validate()["ndcg@10"])
 
 
 def test_sparse_tables_requires_adam():
