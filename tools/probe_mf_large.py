@@ -9,6 +9,13 @@ This probe pins the baseline that the sparse row-update path must beat.
 One jitted program (the scanned epoch; tail batch disabled via
 max_batches_per_epoch).
 
+Measured (v5e, n=500k, d=256, n_neg=10):
+  B=512  dense  17.04 ms/step (compile 425 s)
+  B=512  sparse  5.75 ms/step wall, ~1.97 device (compile 31 s)
+  B=4096 sparse 20.40 ms/step — the ~81 ns/row XLA scatter rate makes the
+  sparse path scatter-bound at M≈45k touched rows; crossover is roughly
+  batch·(1+n_neg) ≈ n/8 (docs/performance.md).
+
 Usage: python tools/probe_mf_large.py [n_rows] [batch] [d] [steps] [sparse] [profile]
   sparse: "sparse" switches LearningConfig.sparse_tables on (row-adam path).
   profile: trace the timed epoch and print the top device ops.
