@@ -140,6 +140,11 @@ class ACF(RecModel):
     delta_exc: float = 1e-1
     delta_inc: float = 1e-2
 
+    # row-sparse optimizer eligibility (LearningConfig.sparse_tables): the
+    # train forward applies each Embedding exactly once with exactly the
+    # user / global-item index batch (see train/row_adam.find_sparse_tables)
+    table_index_map = {"user_embed": "user", "item_embed": "item"}
+
     def setup(self):
         # ACF's anchors need non-small init for stability (reference notes)
         self.anchors = self.param(

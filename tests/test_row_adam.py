@@ -325,6 +325,39 @@ def test_sparse_tables_protomf_learns():
     assert np.isfinite(tr.validate()["ndcg@10"])
 
 
+def test_sparse_tables_acf_learns():
+    """ACF declares its id tables (anchors stay on the dense chain; the
+    exclusiveness/inclusiveness sown losses flow through the item rows)."""
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.mf import ACF
+    from sibrar_tpu.train.trainer import Trainer
+
+    sp = make_synthetic_splits(n_users=40, n_items=60, n_interactions=800,
+                               seed=3)
+    train = sp["train"]
+    model = ACF(n_users=train.n_users, n_items=train.n_items,
+                embedding_dim=16, n_anchors=4)
+    learn = LearningConfig(n_epochs=3, lr=5e-3, rec_loss="bpr",
+                           optimizing_metric="ndcg@10",
+                           sparse_tables=True, sparse_table_min_rows=1)
+    ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), sp["val"])
+    tr = Trainer(model, train, ev, learn,
+                 DatasetConfig(n_negative_samples=4), batch_size=32, seed=0)
+    assert set(tr._sparse_spec) == {"user_embed", "item_embed"}
+    p0 = np.asarray(tr.state.params["anchors"]).copy()
+    losses = [tr.train_epoch()["train/loss"] for _ in range(3)]
+    assert losses[-1] < losses[0]
+    # the dense chain still trains the anchors
+    assert np.abs(np.asarray(tr.state.params["anchors"]) - p0).max() > 0
+    assert np.isfinite(tr.validate()["ndcg@10"])
+
+
 def test_sparse_tables_requires_adam():
     from sibrar_tpu.config.schema import LearningConfig
 
