@@ -225,6 +225,15 @@ class EvalConfig:
     compute_std: bool = True
     # exact top-k strategy: auto | full | scatter | noscatter (ops/topk.py)
     topk_method: str = "auto"
+    # opt-in low-precision scoring for dot-product models: "bfloat16" casts
+    # the score-GEMM inputs (user representations + the item table) once per
+    # evaluation, so the MXU runs one bf16 pass instead of XLA's three-pass
+    # f32 spelling, with f32 accumulation. Selection stays EXACT for the
+    # scores it is given; the scores themselves become bf16-input
+    # approximations (~3e-3 relative) — the same trade `serve.Recommender`'s
+    # dtype mode makes. Ignored (with a warning) for non-dot models.
+    # Default None = full f32, bit-identical to the reference semantics.
+    score_dtype: Optional[str] = None  # None/float32 | bfloat16
 
     def validate(self) -> None:
         if any(k <= 0 for k in self.top_k):
@@ -232,6 +241,10 @@ class EvalConfig:
         if self.topk_method not in ("auto", "full", "scatter", "noscatter",
                                     "peel", "pallas"):
             raise ValueError(f"unsupported topk_method {self.topk_method!r}")
+        if self.score_dtype not in (None, "float32", "bfloat16"):
+            raise ValueError(
+                f"unsupported score_dtype {self.score_dtype!r} "
+                "(use 'float32' or 'bfloat16')")
 
 
 @dataclass

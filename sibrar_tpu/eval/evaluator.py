@@ -393,6 +393,30 @@ def evaluate_model(
     replacing the reference's per-batch eager loop entirely. Falls back to the
     batched Python loop if the score_fn doesn't trace.
     """
+    # opt-in low-precision scoring (EvalConfig.score_dtype): cast the dot
+    # parts ONCE so every consumer below — the fused dot path, the generic
+    # scores path, the scatter redo, and the eager fallback loop — ranks the
+    # SAME bf16-input scores (mirrors serve.Recommender's dtype mode).
+    dot_parts = getattr(score_fn, "dot_parts", None)
+    sd = getattr(evaluator.config, "score_dtype", None)
+    if sd not in (None, "float32"):
+        if dot_parts is None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "eval.score_dtype=%s requested but the score_fn exposes no "
+                "dot_parts; evaluation stays in the score_fn's own "
+                "precision", sd)
+        else:
+            dt = jnp.dtype(sd)
+            _urf, _items = dot_parts
+            dot_parts = ((lambda u, _f=_urf: _f(u).astype(dt)),
+                         jnp.asarray(_items, dt))
+
+            def score_fn(u_idxs, _p=dot_parts):  # noqa: F811 — cast rebind
+                return jnp.dot(_p[0](u_idxs), _p[1].T,
+                               preferred_element_type=jnp.float32)
+
     users = np.asarray(evaluator.data.users_in_split)
     n = len(users)
     bs = min(batch_size, max(n, 1))
@@ -411,7 +435,7 @@ def evaluate_model(
             # dot-product fast path: trainers attach (user_repr_fn, items)
             # to score_fn when the model combine is a plain dot, letting the
             # whole batch run through the fused matmul→top-k kernel
-            dot_parts = getattr(score_fn, "dot_parts", None)
+            # (dot_parts resolved — and optionally cast — above)
             dot_batch = (evaluator.make_dot_eval_batch(*dot_parts)
                          if dot_parts is not None else None)
 

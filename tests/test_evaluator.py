@@ -317,3 +317,59 @@ def test_explicit_topk_method_pins_scores_path():
     ev = FullEvaluator(EvalConfig(top_k=[5], topk_method="scatter"), val)
     assert ev.make_dot_eval_batch(lambda u: None, items,
                                   interpret=True) is None
+
+
+def test_score_dtype_bf16_matches_f32_on_separated_scores():
+    """EvalConfig.score_dtype='bfloat16' casts the dot parts once; with
+    integer score gaps (exactly representable in bf16) the metrics match
+    the full-f32 run bit-for-bit. A non-dot score_fn warns and evaluates in
+    its native precision."""
+    import logging
+
+    splits = make_synthetic_splits(n_users=24, n_items=60,
+                                   n_interactions=500, seed=4,
+                                   with_features=False)
+    val = splits["val"]
+    # d=1 dot model with integer item scores: |values| < 256 are exact bf16
+    items = jnp.asarray(
+        np.arange(val.n_items_in_split, dtype=np.float32)[:, None] % 97)
+    u_mat = jnp.ones((val.n_users, 1), jnp.float32)
+
+    def score_fn(u):
+        return u_mat[u] @ items.T
+
+    score_fn.dot_parts = (lambda u: u_mat[u], items)
+
+    ev = FullEvaluator(EvalConfig(top_k=[5, 10]), val, evaluator_name="val")
+    ref = evaluate_model(score_fn, ev, batch_size=16)
+
+    ev_bf = FullEvaluator(EvalConfig(top_k=[5, 10], score_dtype="bfloat16"),
+                          val, evaluator_name="val")
+    got = evaluate_model(score_fn, ev_bf, batch_size=16)
+    for key, v in ref.items():
+        np.testing.assert_allclose(got[key], v, atol=1e-6, err_msg=key)
+
+    # non-dot score_fn: warn, evaluate anyway
+    def plain_fn(u):
+        return u_mat[u] @ items.T
+
+    ev_w = FullEvaluator(EvalConfig(top_k=[5], score_dtype="bfloat16"), val,
+                         evaluator_name="val")
+    with np.errstate(all="ignore"):
+        logger = logging.getLogger("sibrar_tpu.eval.evaluator")
+        records = []
+        h = logging.Handler()
+        h.emit = lambda r: records.append(r.getMessage())
+        logger.addHandler(h)
+        try:
+            out = evaluate_model(plain_fn, ev_w, batch_size=16)
+        finally:
+            logger.removeHandler(h)
+    assert any("score_dtype" in m for m in records)
+    assert np.isfinite(out["val/ndcg@5"])
+
+
+def test_score_dtype_validation():
+    with pytest.raises(ValueError, match="score_dtype"):
+        EvalConfig(score_dtype="float16").validate()
+    EvalConfig(score_dtype="bfloat16").validate()
