@@ -1,8 +1,18 @@
 """A/B probe: f32 vs bf16 GEMM inputs through peel_masked_topk_dot at C=500k.
 
 Measures the EvalConfig.score_dtype="bfloat16" win on the large-catalog dot
-chain (the f32 GEMM is MXU-pass bound: XLA spells an f32 matmul as three bf16
-passes; bf16 inputs collapse it to one, f32 accumulation unchanged).
+chain (an f32 matmul is three bf16 MXU passes; bf16 inputs collapse it to
+one, f32 accumulation unchanged).
+
+MEASURED (v5e-1, B=1024, C=501760, D=256, K=100, E=64):
+    f32  10.054 ms/step (51.1e9 items/s)
+    bf16  9.559 ms/step (53.7e9 items/s)   -> 1.05x
+The GEMM epilogue overlaps its MXU passes with the 2 GB f32 scores write, so
+cutting 3 passes to 1 only surfaces ~0.5 ms — the chain stays scores-pass
+bound (docs/performance.md). The knob matters more as D grows (the GEMM
+share scales with D; the scores passes don't). Scores themselves must stay
+f32: bf16 scores collide heavily at C=500k (8-bit mantissa), which breaks
+the peel path's distinct-value extraction and trips its exactness checks.
 """
 import time
 
