@@ -24,7 +24,7 @@ import yaml
 
 from sibrar_tpu.config.schema import DatasetSplitType, FeatureDefinition, FeatureType
 from sibrar_tpu.data.feature import Feature
-from sibrar_tpu.ops.sparse import DeviceCSR
+from sibrar_tpu.ops.sparse import DeviceCSR, with_cols_pad
 
 
 class DeviceData(NamedTuple):
@@ -177,10 +177,12 @@ class RecDataset:
             users_in_split=jnp.asarray(self.users_in_split, dtype=jnp.int32),
             train_users=jnp.asarray(inter_cat[:, 0], dtype=jnp.int32),
             train_items_cat=jnp.asarray(inter_cat[:, 1], dtype=jnp.int32),
-            pos_csr=DeviceCSR.from_scipy(pos_csr_sp),
-            exclude_csr=DeviceCSR.from_scipy(excl_sp),
-            user_inter_csr=DeviceCSR.from_scipy(self.interaction_matrix_train),
-            item_inter_csr=DeviceCSR.from_scipy(self.interaction_matrix_train.T),
+            pos_csr=with_cols_pad(DeviceCSR.from_scipy(pos_csr_sp)),
+            exclude_csr=with_cols_pad(DeviceCSR.from_scipy(excl_sp)),
+            user_inter_csr=with_cols_pad(
+                DeviceCSR.from_scipy(self.interaction_matrix_train)),
+            item_inter_csr=with_cols_pad(
+                DeviceCSR.from_scipy(self.interaction_matrix_train.T)),
             popularity=jnp.asarray(pop_cat),
             user_features={k: jnp.asarray(f.table) for k, f in self.user_features.items()},
             item_features={k: jnp.asarray(f.table) for k, f in self.item_features.items()},

@@ -25,17 +25,31 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from sibrar_tpu.ops.sparse import DeviceCSR, csr_contains_rows
+from sibrar_tpu.ops.sparse import (
+    DeviceCSR,
+    contains_pregathered,
+    contains_rows_pregather,
+    csr_contains_rows,
+)
 
 
-def _bad_mask(csr: DeviceCSR, users: jax.Array, cand: jax.Array, distinct: bool
-              ) -> jax.Array:
-    """True where a candidate collides with a positive (or an earlier duplicate)."""
-    # csr_contains_rows: with the Pallas segment gather the per-round row
-    # fetch is nearly free, and the compare path beats the bisection's
-    # element gathers — 11.0 vs 14.1 ms/step on the v5e SBNet bench
+def _bad_mask(csr: DeviceCSR, users: jax.Array, cand: jax.Array,
+              distinct: bool, pre=None) -> jax.Array:
+    """True where a candidate collides with a positive (or an earlier duplicate).
+
+    ``pre`` is the hoisted `contains_rows_pregather` result: the row fetch is
+    loop-invariant across rejection rounds, but XLA re-runs it inside every
+    `fori_loop` round (8 re-gathers ≈ 1.6 ms/step at Onion scale, 2M-nnz
+    CSR — r3 profile), so the samplers gather once outside the loop.
+    """
+    # compare path vs bisection: with the Pallas segment gather the row
+    # fetch is nearly free and the compare beats the bisection's element
+    # gathers — 11.0 vs 14.1 ms/step on the v5e SBNet bench
     # (pre-segment-gather the opposite held; both measured)
-    bad = csr_contains_rows(csr, users, cand)  # [B, n_neg]
+    if pre is not None:
+        bad = contains_pregathered(*pre, cand)  # [B, n_neg]
+    else:
+        bad = csr_contains_rows(csr, users, cand)  # [B, n_neg]
     if distinct:
         # mark duplicates of any *earlier* sample in the row
         eq = cand[:, :, None] == cand[:, None, :]  # [B, n, n]
@@ -59,10 +73,11 @@ def sample_negatives_uniform(
     b = users.shape[0]
     k0, kloop = jax.random.split(rng)
     cand = jax.random.randint(k0, (b, n_neg), 0, n_catalog, dtype=jnp.int32)
+    pre = contains_rows_pregather(pos_csr, users)  # hoisted row fetch
 
     def body(i, cand):
         key = jax.random.fold_in(kloop, i)
-        bad = _bad_mask(pos_csr, users, cand, distinct)
+        bad = _bad_mask(pos_csr, users, cand, distinct, pre=pre)
         fresh = jax.random.randint(key, (b, n_neg), 0, n_catalog, dtype=jnp.int32)
         return jnp.where(bad, fresh, cand)
 
@@ -88,10 +103,11 @@ def sample_negatives_popular(
     cand = jax.random.categorical(k0, logits, shape=(b, n_neg)).astype(jnp.int32)
     if not exclude_positives:
         return cand
+    pre = contains_rows_pregather(pos_csr, users)  # hoisted row fetch
 
     def body(i, cand):
         key = jax.random.fold_in(kloop, i)
-        bad = csr_contains_rows(pos_csr, users, cand)
+        bad = _bad_mask(pos_csr, users, cand, distinct=False, pre=pre)
         fresh = jax.random.categorical(key, logits, shape=(b, n_neg)).astype(jnp.int32)
         return jnp.where(bad, fresh, cand)
 

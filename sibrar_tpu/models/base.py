@@ -123,6 +123,12 @@ def populate_tables(variables: Dict[str, Any], device_data: DeviceData) -> Dict[
     lookup["user__inter_indices"] = device_data.user_inter_csr.indices
     lookup["item__inter_indptr"] = device_data.item_inter_csr.indptr
     lookup["item__inter_indices"] = device_data.item_inter_csr.indices
+    # padded-row materializations (declared by the towers exactly when
+    # `ops.sparse.padded_cols_viable`; `to_device` applies the same gate)
+    if device_data.user_inter_csr.cols_pad is not None:
+        lookup["user__inter_cols_pad"] = device_data.user_inter_csr.cols_pad
+    if device_data.item_inter_csr.cols_pad is not None:
+        lookup["item__inter_cols_pad"] = device_data.item_inter_csr.cols_pad
 
     def replace(tree):
         if isinstance(tree, dict):

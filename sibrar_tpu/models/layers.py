@@ -294,16 +294,9 @@ class InteractionVectorModule(nn.Module):
 
     @nn.compact
     def __call__(self, idxs):
-        from sibrar_tpu.ops.sparse import DeviceCSR, csr_rows_to_dense
+        from sibrar_tpu.ops.sparse import csr_rows_to_dense
 
-        indptr = self.variable(
-            "tables", f"{self.entity}__inter_indptr",
-            lambda: jnp.zeros((self.n_rows + 1,), jnp.int32)).value
-        indices = self.variable(
-            "tables", f"{self.entity}__inter_indices",
-            lambda: jnp.zeros((max(self.nnz, 1),), jnp.int32)).value
-        csr = DeviceCSR(indptr=indptr, indices=indices, n_rows=self.n_rows,
-                        n_cols=self.n_cols, max_row_len=self.max_row_len)
+        csr = _csr_from_tables(self)
         vec = csr_rows_to_dense(csr, idxs, dtype=jnp.float32)
         if self.normalize:
             norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
@@ -311,11 +304,51 @@ class InteractionVectorModule(nn.Module):
         return vec
 
 
+def _csr_from_tables(module) -> "DeviceCSR":  # noqa: F821
+    """Rebuild the entity's train-interaction `DeviceCSR` from the `tables`
+    collection (real arrays spliced in by `models.base.populate_tables`).
+    Declares the optional padded-cols table exactly when
+    `ops.sparse.padded_cols_viable` holds — `DeviceData.to_device` applies
+    the same gate, so the populate lookup always has the matching array."""
+    from sibrar_tpu.ops.sparse import DeviceCSR, padded_cols_viable
+
+    entity, n_rows, nnz = module.entity, module.n_rows, module.nnz
+    indptr = module.variable(
+        "tables", f"{entity}__inter_indptr",
+        lambda: jnp.zeros((n_rows + 1,), jnp.int32)).value
+    indices = module.variable(
+        "tables", f"{entity}__inter_indices",
+        lambda: jnp.zeros((max(nnz, 1),), jnp.int32)).value
+    cols_pad = None
+    if padded_cols_viable(n_rows, module.max_row_len, nnz):
+        l_pad = -(-module.max_row_len // 128) * 128
+        cols_pad = module.variable(
+            "tables", f"{entity}__inter_cols_pad",
+            lambda: jnp.zeros((n_rows, l_pad), jnp.int32)).value
+    return DeviceCSR(indptr=indptr, indices=indices, n_rows=n_rows,
+                     n_cols=module.n_cols, max_row_len=module.max_row_len,
+                     cols_pad=cols_pad)
+
+
 # Bag-vs-densify break-even: use the gather path when
 # BAG_BREAK_EVEN_FACTOR · max_row_len ≤ n_cols. Module-level so probes can
-# sweep it (tools/probe_train.py) — the factor is a measured trade between
-# the densify scatter + [B, n_cols] matmul and per-example row gathers.
-BAG_BREAK_EVEN_FACTOR = 256
+# sweep it (tools/probe_train.py; 0 forces bag).
+#
+# Calibrated r3 on v5e from full fwd+bwd first-layer chains
+# (tools/probe_bag_vs_dense.py): the bag chain is OCCURRENCE-bound at
+# ~50 ns per (row, l) — XLA materializes the [rows, L, h] gather three
+# times (gather out, a retiling reshape copy, the backward broadcast) and
+# pays a row scatter-add backward — while the MXU one-hot densify chain is
+# ~25 ps per (row, col) element, nearly h-independent (the GEMMs hide
+# behind the dense-matrix passes). Measured: rows=3756/n_cols=50k/L=41/
+# h=512 → bag 8.56 ms vs dense 4.43; rows=512/n_cols=100352/L=69/h=128 →
+# 1.51 vs 1.38 (near the break-even). 50 ns / 25 ps ≈ 2048.
+BAG_BREAK_EVEN_FACTOR = 2048
+
+# Densify materializes a [rows, n_cols] f32 matrix; past this budget the
+# bag path wins by default regardless of the break-even (HBM residency, not
+# speed: v5e has 16 GB and the scores chain needs headroom).
+_DENSIFY_MAX_BYTES = 2 << 30
 
 # Fused sparse-input matmul (ops/pallas_spmm) instead of densify+matmul on
 # the non-bag path: "auto" = TPU only, True = force (tests/probes use the
@@ -336,14 +369,16 @@ class InteractionTower(nn.Module):
     instead of an ``n_cols``-wide matmul: at Onion scale (100k items, histories
     ~100) that is ~1000× less FLOPs and no ``[B, n_cols]`` densified tensor.
 
-    Statically picks bag vs densify. Measured break-even on v5e: the MXU eats
-    the dense ``[B, n_cols] @ [n_cols, h]`` matmul so fast (~2 FLOP/elem at
-    ~50 TF/s) that random-access gathers only win at extreme sparsity —
-    roughly ``max_row_len ≲ n_cols / 250``. The gate uses
-    ``256 · max_row_len ≤ n_cols`` (e.g. million-item catalogs with ≤4k-item
-    histories); everything else keeps the dense path. Both paths share
-    parameter structure (first kernel/bias + PolyLinear rest) and are
-    numerically identical.
+    Statically picks bag vs densify. Measured break-even on v5e (full
+    fwd+bwd chains, tools/probe_bag_vs_dense.py): the bag chain costs
+    ~50 ns per (row, l) occurrence (triple [rows, L, h] materialization +
+    scatter-add backward) while the MXU one-hot densify chain costs ~25 ps
+    per (row, col) element — bag only wins at extreme sparsity,
+    ``max_row_len ≲ n_cols / 2048`` (e.g. million-item catalogs with
+    ≤500-item histories), or when the dense matrix would not fit the
+    `_DENSIFY_MAX_BYTES` HBM budget. Both paths share parameter structure
+    (first kernel/bias + PolyLinear rest); the dense path's scores ride the
+    MXU's bf16-pass f32 matmul (~5e-3 relative, the framework-wide norm).
     """
 
     entity: str
@@ -360,7 +395,7 @@ class InteractionTower(nn.Module):
     def __call__(self, idxs, train: bool = False, scale=None):
         """`scale` multiplies the interaction row (pre-bias) — used for
         DropoutNet's preference dropout mask."""
-        from sibrar_tpu.ops.sparse import DeviceCSR, csr_row_gather
+        from sibrar_tpu.ops.sparse import csr_row_gather
 
         assert len(self.layer_sizes) >= 1
         h = self.layer_sizes[0]
@@ -368,16 +403,13 @@ class InteractionTower(nn.Module):
         kernel = self.param("kernel", kaiming_uniform_relu, (self.n_cols, h))
         bias = self.param("bias", nn.initializers.zeros, (h,))
 
-        indptr = self.variable(
-            "tables", f"{self.entity}__inter_indptr",
-            lambda: jnp.zeros((self.n_rows + 1,), jnp.int32)).value
-        indices = self.variable(
-            "tables", f"{self.entity}__inter_indices",
-            lambda: jnp.zeros((max(self.nnz, 1),), jnp.int32)).value
-        csr = DeviceCSR(indptr=indptr, indices=indices, n_rows=self.n_rows,
-                        n_cols=self.n_cols, max_row_len=self.max_row_len)
+        csr = _csr_from_tables(self)
 
-        use_bag = BAG_BREAK_EVEN_FACTOR * max(self.max_row_len, 1) <= self.n_cols
+        import numpy as _np
+
+        dense_bytes = int(_np.prod(idxs.shape)) * self.n_cols * 4
+        use_bag = (BAG_BREAK_EVEN_FACTOR * max(self.max_row_len, 1)
+                   <= self.n_cols) or dense_bytes > _DENSIFY_MAX_BYTES
         use_spmm = (not use_bag and INTERACTION_SPMM
                     and (INTERACTION_SPMM in (True, "interpret")
                          or jax.default_backend() == "tpu"))
@@ -405,11 +437,18 @@ class InteractionTower(nn.Module):
         else:
             from sibrar_tpu.ops.sparse import csr_rows_to_dense
 
-            vec = csr_rows_to_dense(csr, idxs, dtype=jnp.float32)
+            # flatten the row batch through the densify + matmul: a
+            # [..., n_cols] dense tensor with a multi-dim batch retiles on
+            # every reshape (XLA tiles the LAST TWO dims — measured 1.7
+            # ms/step of pure copy at [939, 4, 50048] bf16, r3 Onion
+            # profile); flat [R, n_cols] keeps einsum → view → GEMM
+            # layout-stable and the [R, h] output reshape is trivial
+            flat = idxs.reshape(-1)
+            vec = csr_rows_to_dense(csr, flat, dtype=jnp.float32)
             if self.normalize:
                 norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
                 vec = vec / jnp.maximum(norm, 1e-8)
-            pre = vec @ kernel
+            pre = (vec @ kernel).reshape(*idxs.shape, h)
         if scale is not None:
             pre = pre * scale
         x = pre + bias

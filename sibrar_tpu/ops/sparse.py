@@ -30,6 +30,12 @@ class DeviceCSR:
     n_rows: int = flax.struct.field(pytree_node=False)
     n_cols: int = flax.struct.field(pytree_node=False)
     max_row_len: int = flax.struct.field(pytree_node=False)
+    # optional [n_rows, Lpad] padded-row materialization (`with_cols_pad`):
+    # turns `csr_row_gather` into one vectorized row gather where the flat
+    # indices outgrow the Pallas segment kernel's VMEM cap (the XLA
+    # element-gather fallback costs ~6.6 ns/element — 1.0 ms/step for the
+    # Onion item tower's 154k cols, r3 profile)
+    cols_pad: jax.Array | None = None
 
     @staticmethod
     def from_scipy(mat) -> "DeviceCSR":
@@ -50,9 +56,52 @@ class DeviceCSR:
 
 
 # Segment-gather kernel viability: the flat indices array must fit a VMEM
-# block. Beyond this, the XLA element-gather path remains (a future HBM+DMA
-# double-buffered variant would lift the cap).
+# block. Beyond this, `with_cols_pad` (padded-row materialization) takes
+# over where its HBM budget allows; the XLA element-gather path remains the
+# last resort.
 _SEG_GATHER_MAX_BYTES = 4 * 1024 * 1024
+
+# HBM budget for a CSR's padded-row materialization (per CSR). 128 MB covers
+# Onion-scale interaction CSRs (100k rows × 128-lane-padded histories);
+# million-row × multi-k-history CSRs fall back to the element gather.
+_PADDED_COLS_MAX_BYTES = 128 * 1024 * 1024
+
+
+def padded_cols_viable(n_rows: int, max_row_len: int, nnz: int) -> bool:
+    """True when a CSR earns the `with_cols_pad` materialization: the flat
+    indices outgrow the segment kernel's VMEM cap AND the padded table fits
+    the HBM budget. Shared by `DeviceData` construction and the interaction
+    towers' table declarations (both sides must agree so `populate_tables`
+    always has the table the module expects)."""
+    if nnz == 0 or max_row_len == 0:
+        return False
+    if nnz * 4 <= _SEG_GATHER_MAX_BYTES:
+        return False  # the Pallas segment gather is already near-free
+    l_pad = -(-max_row_len // 128) * 128
+    return n_rows * l_pad * 4 <= _PADDED_COLS_MAX_BYTES
+
+
+def build_cols_pad(indptr: jax.Array, indices: jax.Array, n_rows: int,
+                   max_row_len: int) -> jax.Array:
+    """Materialize ``[n_rows, Lpad]`` padded row columns (pad value 0; the
+    consumer recomputes masks from ``indptr``). One-time cost at dataset
+    load; Lpad is 128-lane aligned so per-batch row gathers stay on the
+    vectorized full-row path."""
+    l_pad = -(-max_row_len // 128) * 128
+    pos = indptr[:n_rows, None] + jnp.arange(l_pad, dtype=jnp.int32)
+    mask = pos < indptr[1:, None]
+    cap = max(int(indices.shape[0]) - 1, 0)
+    cols = indices[jnp.minimum(pos, cap)]
+    return jnp.where(mask, cols, 0)
+
+
+def with_cols_pad(csr: DeviceCSR) -> DeviceCSR:
+    """Attach the padded-row materialization when `padded_cols_viable`."""
+    if csr.cols_pad is not None or not padded_cols_viable(
+            csr.n_rows, csr.max_row_len, csr.nnz):
+        return csr
+    return csr.replace(cols_pad=build_cols_pad(
+        csr.indptr, csr.indices, csr.n_rows, csr.max_row_len))
 
 
 def _seg_gather_kernel(st_ref, flat_ref, o_ref, *, gb: int, width: int,
@@ -129,6 +178,13 @@ def csr_row_gather(csr: DeviceCSR, rows: jax.Array,
         shape = (*rows.shape, max(csr.max_row_len, 1))
         return (jnp.zeros(shape, jnp.int32), jnp.zeros(shape, bool))
     l_out = max(csr.max_row_len, 1)
+    if csr.cols_pad is not None:
+        # padded-row materialization: ONE vectorized full-row gather
+        # (pad value 0 matches the contract; mask from row lengths)
+        cols = csr.cols_pad[rows][..., :l_out]
+        lens = csr.indptr[rows + 1] - csr.indptr[rows]
+        mask = jnp.arange(l_out, dtype=jnp.int32) < lens[..., None]
+        return cols, mask
     if rows.ndim > 1:
         # n-D row batches (e.g. the routed interaction tower's [G, n_pairs]
         # blocks) ride the same 1-D segment-gather kernel flattened — the
@@ -274,10 +330,34 @@ def csr_contains_rows(csr: DeviceCSR, rows: jax.Array, cols: jax.Array
               and jax.default_backend() == "tpu")
     if csr.max_row_len <= (2048 if seg_ok else 128):
         row_cols, row_mask = csr_row_gather(csr, rows)  # [B, L]
-        hit = ((cols[..., None] == row_cols[..., None, :])
-               & row_mask[..., None, :])
-        return hit.any(-1)
+        return contains_pregathered(row_cols, row_mask, cols)
     return csr_contains(csr, rows[..., None], cols)
+
+
+def contains_rows_pregather(csr: DeviceCSR, rows: jax.Array):
+    """The ``(row_cols, row_mask)`` gather `csr_contains_rows` would perform
+    for these rows, or ``None`` when it would take the bisection path.
+
+    Lets rejection-sampling loops hoist the per-round row fetch: the fetch
+    is loop-invariant, but inside a `fori_loop` body XLA re-runs it every
+    round (8 rounds re-gathered ≈ 1.6 ms/step at Onion scale, 2M-nnz CSR —
+    r3 profile). Pair with `contains_pregathered` in the loop body."""
+    if csr.nnz == 0:
+        return None
+    seg_ok = (csr.nnz * 4 <= _SEG_GATHER_MAX_BYTES
+              and jax.default_backend() == "tpu")
+    if csr.max_row_len <= (2048 if seg_ok else 128):
+        return csr_row_gather(csr, rows)
+    return None
+
+
+def contains_pregathered(row_cols: jax.Array, row_mask: jax.Array,
+                         cols: jax.Array) -> jax.Array:
+    """Membership of ``cols[b, k]`` against pre-gathered row columns
+    (`contains_rows_pregather`); the compare tail of `csr_contains_rows`."""
+    hit = ((cols[..., None] == row_cols[..., None, :])
+           & row_mask[..., None, :])
+    return hit.any(-1)
 
 
 @partial(jax.jit, static_argnames=("n_cols", "fill"))

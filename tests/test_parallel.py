@@ -272,7 +272,7 @@ def test_tower_tp_bag_path_matches_single_device(monkeypatch):
     from sibrar_tpu.models.dmf import DeepMatrixFactorization
     from sibrar_tpu.train.trainer import Trainer
 
-    monkeypatch.setattr(layers_mod, "BAG_BREAK_EVEN_FACTOR", 1)  # force bag
+    monkeypatch.setattr(layers_mod, "BAG_BREAK_EVEN_FACTOR", 0)  # force bag
     mesh = make_mesh(8)
     splits = make_synthetic_splits(n_users=48, n_items=64, n_interactions=900,
                                    seed=5, with_features=False)

@@ -108,3 +108,98 @@ def test_windowed_topk_excluded_margin_guarantee():
     s_masked[:, excl] = -1e30
     v0, i0 = jax.lax.top_k(jnp.asarray(s_masked), k)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v0))
+
+
+def test_cols_pad_row_gather_parity():
+    """`with_cols_pad` materialization must return bit-identical
+    (cols, mask) to the span-walk path, for 1-D and n-D row batches,
+    including empty rows."""
+    import numpy as np
+
+    from sibrar_tpu.ops.sparse import build_cols_pad
+
+    rng = np.random.default_rng(7)
+    n_rows, n_cols = 37, 500
+    lens = rng.integers(0, 9, size=n_rows)
+    lens[5] = 0  # explicit empty row
+    indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    indices = np.concatenate(
+        [np.sort(rng.choice(n_cols, size=l, replace=False)) for l in lens]
+        or [np.zeros(0)]).astype(np.int32)
+    csr = DeviceCSR(indptr=jnp.asarray(indptr), indices=jnp.asarray(indices),
+                    n_rows=n_rows, n_cols=n_cols,
+                    max_row_len=int(lens.max()))
+    padded = csr.replace(cols_pad=build_cols_pad(
+        csr.indptr, csr.indices, n_rows, csr.max_row_len))
+    assert padded.cols_pad.shape == (n_rows, 128)
+
+    for rows in (jnp.asarray([0, 5, 12, 36], jnp.int32),
+                 jnp.asarray([[1, 2], [5, 30]], jnp.int32)):
+        c0, m0 = csr_row_gather(csr, rows)
+        c1, m1 = csr_row_gather(padded, rows)
+        np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_cols_pad_viability_gate():
+    from sibrar_tpu.ops.sparse import (
+        _SEG_GATHER_MAX_BYTES,
+        padded_cols_viable,
+    )
+
+    small_nnz = _SEG_GATHER_MAX_BYTES // 4  # seg kernel still covers it
+    assert not padded_cols_viable(1000, 64, small_nnz)
+    assert padded_cols_viable(100_000, 64, small_nnz * 3)
+    # over the HBM budget: a million rows x 2048-padded histories
+    assert not padded_cols_viable(1_000_000, 2000, small_nnz * 3)
+    assert not padded_cols_viable(1000, 0, small_nnz * 3)
+
+
+def test_cols_pad_end_to_end_gated(monkeypatch):
+    """With the seg-gather cap forced to 0, `to_device` materializes padded
+    cols on every CSR and a train step + eval run bit-identical to the
+    span-walk configuration."""
+    import numpy as np
+
+    import sibrar_tpu.ops.sparse as sparse_mod
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.mf import SGDMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    splits = make_synthetic_splits(n_users=30, n_items=50,
+                                   n_interactions=600, seed=8)
+
+    def run(patched: bool):
+        if patched:
+            monkeypatch.setattr(sparse_mod, "_SEG_GATHER_MAX_BYTES", 0)
+        else:
+            monkeypatch.undo()
+        train, val = splits["train"], splits["val"]
+        data = train.to_device()
+        if patched:
+            assert data.pos_csr.cols_pad is not None
+            assert data.user_inter_csr.cols_pad is not None
+        else:
+            assert data.pos_csr.cols_pad is None
+        model = SGDMatrixFactorization(n_users=train.n_users,
+                                       n_items=train.n_items,
+                                       embedding_dim=8)
+        learn = LearningConfig(n_epochs=1, lr=1e-2, rec_loss="bpr",
+                               optimizing_metric="ndcg@10")
+        ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), val,
+                           device_data=data)
+        tr = Trainer(model, train, ev, learn,
+                     DatasetConfig(n_negative_samples=4), batch_size=32,
+                     seed=3, device_data=data)
+        loss = tr.train_epoch()["train/loss"]
+        return loss, tr.validate()["ndcg@10"]
+
+    base = run(False)
+    padded = run(True)
+    np.testing.assert_allclose(padded, base, rtol=0, atol=0)

@@ -9,6 +9,21 @@ n_users=50k, n_items=100,352 (the bench's Onion-scale catalog), jukebox
 and the feature-table transfer, not the step structure).
 
 Usage: python tools/probe_sbnet_onion.py [steps] [--profile]
+
+MEASURED (v5e-1, B=512, n_neg=10, 50-step scanned epochs; wall includes
+~2-3 ms/step remote-tunnel sync):
+  r3 baseline      55.9 steps/s (17.90 ms wall, 16.1 device) — item tower on
+                   the bag path (256-factor gate), sampling re-gathering the
+                   positives row every rejection round, XLA element gathers
+                   for all CSR row fetches
+  + sampling hoist + 2048-factor gate (densify item tower):
+                   92.9 steps/s (10.76 ms wall, 8.9 device)
+  + flat-rows densify + padded-cols row gathers:
+                  103.7 steps/s (9.64 ms wall, 6.89 device)
+Remaining device step: adamw on the two tower kernels ~1.7 ms (memory
+floor), densify+GEMMs ~3.2 (incl. XLA's 376 MB bf16 transpose copy for the
+dW GEMM — custom-vjp respelling measured a no-op, see
+tools/probe_bag_vs_dense.py), small-layer adam + MLP tail ~1.5.
 """
 import collections
 import glob
