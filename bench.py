@@ -62,6 +62,9 @@ SB_COMMON = 512
 MF_ROWS = 500_000
 MF_STEPS = 50
 
+# north-star-scale SBNet train point (onion18-huge architecture)
+ON_USERS, ON_ITEMS, ON_INTER = 50_000, 100_352, 2_000_000
+
 if QUICK:
     B, C, D, K, EXCL, ITERS = 64, 2048, 32, 10, 8, 3
     C_LARGE, ITERS_LARGE = 8192, 2
@@ -69,6 +72,7 @@ if QUICK:
         400, 500, 8000, 64, 4, 5)
     AUDIO_D, TEXT_D, SB_HIDDEN, SB_COMMON = 16, 24, [32, 32], 32
     MF_ROWS, MF_STEPS = 3000, 5
+    ON_USERS, ON_ITEMS, ON_INTER = 300, 400, 5000
 
 
 # --------------------------------------------------------------- eval hot path
@@ -134,10 +138,13 @@ def bench_jax_fused() -> float:
     cp = -(-C // bc) * bc
     it = jnp.pad(it, ((0, cp - C), (0, 0))) if cp != C else it
 
+    # QUICK-mode CI sanity off-TPU runs the Pallas kernels in interpret mode
+    interp = jax.default_backend() != "tpu"
+
     @jax.jit
     def step(u):
         return peel_masked_topk_dot(u, it, cols, mask, K, bc=bc, c_real=C,
-                                    with_fallback=False)
+                                    with_fallback=False, interpret=interp)
 
     v, i, ok = step(u)
     v.block_until_ready()
@@ -217,11 +224,11 @@ def bench_jax_large_dot() -> dict:
     return _guarded(_bench_jax_large_dot_impl)
 
 
-def _guarded(fn) -> dict:
+def _guarded(fn, errkey: str = "eval_large_dot_error") -> dict:
     try:
         return fn()
     except Exception as e:  # pragma: no cover - defensive
-        return {"eval_large_dot_error": f"{type(e).__name__}: {e}"[:200]}
+        return {errkey: f"{type(e).__name__}: {e}"[:200]}
 
 
 def _bench_jax_large_dot_impl() -> dict:
@@ -430,6 +437,110 @@ def bench_train_mf_sparse() -> tuple[float, float]:
     return steps / dt, dt / steps * 1e3
 
 
+def bench_train_sbnet_onion() -> dict:
+    """North-star-scale SBNet train point: the paper's onion18-huge
+    architecture (`/root/reference/conf/single/algorithms/
+    sbnet_onion18_huge_conf.yml` — user entity interactions-only, item
+    entity {interactions, genres, jukebox} through a [512,512,512,256,256]
+    branch, pairwise_single InfoNCE) at n_users=50k, n_items=100,352.
+    The tower first layers are [100352, 128] / [50000, 512] — the genuinely
+    large matrices of the reference zoo (SURVEY §5.8). Jukebox is 256-d here
+    (real jukebox is 4800-d; the dim only scales one small matmul and the
+    host→device feature transfer). See tools/probe_sbnet_onion.py for the
+    step breakdown and the r3 optimization trail (55.9 → 103.7 steps/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        FeatureDefinition,
+        FeatureType,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.data.feature import Feature
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.sbnet import SingleBranchNet
+    from sibrar_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(11)
+    pairs = np.unique(np.stack([
+        rng.integers(0, ON_USERS, ON_INTER),
+        rng.integers(0, ON_ITEMS, ON_INTER)], axis=1), axis=0)
+    rng.shuffle(pairs)
+    genres = [f"g{t}" for t in range(64)]
+    item_features = {
+        "jukebox": Feature.build(
+            FeatureDefinition("jukebox", FeatureType.VECTOR),
+            rng.normal(size=(ON_ITEMS, 256)).astype(np.float32), ON_ITEMS),
+        "genres": Feature.build(
+            FeatureDefinition("genres", FeatureType.TAG),
+            ["|".join(rng.choice(genres, size=4, replace=False))
+             for _ in range(ON_ITEMS)], ON_ITEMS),
+    }
+    train = RecDataset(
+        split_set="train", n_users=ON_USERS, n_items=ON_ITEMS,
+        interactions=pairs.astype(np.int64),
+        train_interactions=pairs.astype(np.int64),
+        item_features=item_features, user_features={})
+    device_data = train.to_device()
+    conf = {
+        "shared_common_dim": 128,
+        "user": {
+            "features": [{"feature_name": "interactions"}],
+            "single_branch_hidden_layers": [],
+            "common_modality_dim": 128,
+            "normalize_single_branch_input": True,
+            "apply_output_activation": True,
+        },
+        "item": {
+            "features": [
+                {"feature_name": "interactions"},
+                {"feature_name": "genres"},
+                {"feature_name": "jukebox"},
+            ],
+            "single_branch_hidden_layers": [512, 512, 512, 256, 256],
+            "common_modality_dim": 512,
+            "single_branch_input_dropout": 2e-2,
+            "normalize_single_branch_input": True,
+            "embedding_regularization_type": "pairwise_single",
+            "central_modality": "interactions",
+            "apply_output_activation": True,
+            "apply_batch_norm_every": 2,
+        },
+    }
+    model = SingleBranchNet.build_from_conf(conf, train, device_data)
+    learn = LearningConfig(n_epochs=1, lr=5e-5, wd=1e-3, optimizer="adamw",
+                           rec_loss="bpr", max_batches_per_epoch=TR_STEPS,
+                           optimizing_metric="ndcg@10")
+    evaluator = FullEvaluator(EvalConfig(top_k=[10]), train,
+                              device_data=device_data)
+    trainer = Trainer(model, train, evaluator, learn,
+                      DatasetConfig(n_negative_samples=TR_NEG),
+                      batch_size=TR_BATCH, seed=0, device_data=device_data,
+                      init_for_training=False)
+    rng = np.random.default_rng(5)
+    trainer.state = trainer.state.replace(
+        params=jax.tree_util.tree_map(
+            lambda x: jnp.asarray(
+                rng.normal(scale=0.05, size=x.shape).astype(x.dtype))
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            trainer.state.params),
+        opt_state=trainer.optimizer.init(trainer.state.params))
+    trainer.train_epoch()  # compile + warm
+    t0 = time.perf_counter()
+    m = trainer.train_epoch()
+    jax.block_until_ready(trainer.state.params)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(m["train/loss"]), m
+    return {
+        "train_onion_steps_per_sec": round(TR_STEPS / dt, 2),
+        "train_onion_ms_per_step": round(dt / TR_STEPS * 1e3, 3),
+        "train_onion_catalog": ON_ITEMS,
+    }
+
+
 def bench_train_torch() -> float:
     """Reference-shaped SBNet train step in eager torch (CPU build): sample ONE
     modality per step like the reference single-branch trainer
@@ -579,6 +690,7 @@ def main():
     large = bench_jax_large()
     large.update(bench_jax_large_dot())
     train_sps, train_ms = bench_train_jax()
+    onion = _guarded(bench_train_sbnet_onion, errkey="train_onion_error")
     mf_sps, mf_ms = bench_train_mf_sparse()
     base = bench_torch()
     base_train = bench_train_torch()
@@ -588,6 +700,7 @@ def main():
         **large,
         "train_steps_per_sec": round(train_sps, 2),
         "train_ms_per_step": round(train_ms, 3),
+        **onion,
         "train_mf500k_sparse_steps_per_sec": round(mf_sps, 2),
         "train_mf500k_sparse_ms_per_step": round(mf_ms, 3),
         "train_vs_torch_cpu": (round(train_sps / base_train, 2)

@@ -14,11 +14,15 @@ share scales with D; the scores passes don't). Scores themselves must stay
 f32: bf16 scores collide heavily at C=500k (8-bit mantissa), which breaks
 the peel path's distinct-value extraction and trips its exactness checks.
 """
+import os
+import sys
 import time
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sibrar_tpu.utils.cache import enable_compilation_cache
+import numpy as np  # noqa: E402
+
+from sibrar_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
