@@ -118,3 +118,65 @@ def test_interaction_tower_spmm_path_matches_dense():
                     jax.tree_util.tree_leaves(got_grad)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_tower_cols_pad_table_end_to_end(monkeypatch):
+    """With the seg-gather cap forced to 0, the towers declare the
+    `{entity}__inter_cols_pad` table, `populate_tables` splices the matching
+    array from DeviceData, and a DMF train epoch + validation run
+    bit-identical to the span-walk configuration."""
+    import sibrar_tpu.ops.sparse as sparse_mod
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.synthetic import make_synthetic_splits
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.dmf import DeepMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    splits = make_synthetic_splits(n_users=30, n_items=40,
+                                   n_interactions=500, seed=6)
+
+    def run(patched: bool, mesh=None):
+        if patched:
+            monkeypatch.setattr(sparse_mod, "_SEG_GATHER_MAX_BYTES", 0)
+        else:
+            monkeypatch.undo()
+        train, val = splits["train"], splits["val"]
+        data = train.to_device()
+        model = DeepMatrixFactorization.build_from_conf(
+            {"u_mid_layers": [16], "i_mid_layers": [16], "final_dimension": 8},
+            train, data)
+        learn = LearningConfig(n_epochs=1, lr=1e-3, rec_loss="bpr",
+                               optimizing_metric="ndcg@10")
+        ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), val,
+                           device_data=data)
+        tr = Trainer(model, train, ev, learn,
+                     DatasetConfig(n_negative_samples=4), batch_size=32,
+                     seed=3, device_data=data, mesh=mesh)
+        from flax import traverse_util
+
+        flat = {k[-1]: v for k, v in
+                traverse_util.flatten_dict(tr.state.tables).items()}
+        if patched:
+            assert "user__inter_cols_pad" in flat
+            assert "item__inter_cols_pad" in flat
+            # the spliced array is the real materialization, not init zeros
+            assert np.asarray(flat["user__inter_cols_pad"]).max() > 0
+        else:
+            assert "user__inter_cols_pad" not in flat
+        loss = tr.train_epoch()["train/loss"]
+        return loss, tr.validate()["ndcg@10"]
+
+    base = run(False)
+    padded = run(True)
+    np.testing.assert_allclose(padded, base, rtol=0, atol=0)
+
+    # the padded tables also ride the (data, item) mesh (replicated like
+    # every other table; the batch shards over data)
+    from sibrar_tpu.parallel.mesh import make_mesh
+
+    meshed = run(True, mesh=make_mesh(8))
+    np.testing.assert_allclose(meshed, base, rtol=1e-5, atol=1e-6)
