@@ -24,6 +24,10 @@ Remaining device step: adamw on the two tower kernels ~1.7 ms (memory
 floor), densify+GEMMs ~3.2 (incl. XLA's 376 MB bf16 transpose copy for the
 dW GEMM — custom-vjp respelling measured a no-op, see
 tools/probe_bag_vs_dense.py), small-layer adam + MLP tail ~1.5.
+
+`--bf16-mu` (the `learn.moment_dtype: bfloat16` production knob) measures
+109.8 steps/s (9.11 ms wall) vs 103.7 (9.64) — ~0.5 ms/step off the adamw
+passes for halved first-moment storage.
 """
 import collections
 import glob
@@ -116,7 +120,9 @@ def build_trainer(steps: int):
     model = SingleBranchNet.build_from_conf(conf, train, device_data)
     learn = LearningConfig(n_epochs=1, lr=5e-5, wd=1e-3, optimizer="adamw",
                            rec_loss="bpr", max_batches_per_epoch=steps,
-                           optimizing_metric="ndcg@10")
+                           optimizing_metric="ndcg@10",
+                           moment_dtype=("bfloat16" if "--bf16-mu" in sys.argv
+                                         else None))
     evaluator = FullEvaluator(EvalConfig(top_k=[10]), train,
                               device_data=device_data)
     trainer = Trainer(model, train, evaluator, learn,
