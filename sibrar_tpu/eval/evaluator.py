@@ -400,6 +400,11 @@ def evaluate_model(
     dot_parts = getattr(score_fn, "dot_parts", None)
     sd = getattr(evaluator.config, "score_dtype", None)
     if sd not in (None, "float32"):
+        if sd != "bfloat16":
+            # fail loud even when EvalConfig.validate() was never called
+            # (programmatic use bypasses the CLI config loader)
+            raise ValueError(
+                f"unsupported score_dtype {sd!r} (use 'float32' or 'bfloat16')")
         if dot_parts is None:
             import logging
 

@@ -407,9 +407,16 @@ class InteractionTower(nn.Module):
 
         import numpy as _np
 
-        dense_bytes = int(_np.prod(idxs.shape)) * self.n_cols * 4
+        rows_total = int(_np.prod(idxs.shape))
+        dense_bytes = rows_total * self.n_cols * 4
         use_bag = (BAG_BREAK_EVEN_FACTOR * max(self.max_row_len, 1)
-                   <= self.n_cols) or dense_bytes > _DENSIFY_MAX_BYTES
+                   <= self.n_cols)
+        if not use_bag and dense_bytes > _DENSIFY_MAX_BYTES:
+            # dense over the HBM budget: redirect to bag only when the bag
+            # chain's own [rows, L, h] intermediates are actually smaller
+            # (XLA materializes them ~3x — see the calibration note above);
+            # otherwise the dense matrix IS the smaller footprint
+            use_bag = rows_total * max(self.max_row_len, 1) * h * 4 < dense_bytes
         use_spmm = (not use_bag and INTERACTION_SPMM
                     and (INTERACTION_SPMM in (True, "interpret")
                          or jax.default_backend() == "tpu"))

@@ -61,10 +61,15 @@ class DeviceCSR:
 # last resort.
 _SEG_GATHER_MAX_BYTES = 4 * 1024 * 1024
 
-# HBM budget for a CSR's padded-row materialization (per CSR). 128 MB covers
-# Onion-scale interaction CSRs (100k rows × 128-lane-padded histories);
-# million-row × multi-k-history CSRs fall back to the element gather.
-_PADDED_COLS_MAX_BYTES = 128 * 1024 * 1024
+# Budget for a CSR's padded-row materialization (per CSR). 64 MB covers
+# Onion-scale interaction CSRs (100k rows × 128-lane-padded histories at
+# 51 MB); million-row × multi-k-history CSRs fall back to the element
+# gather. Kept moderate deliberately: pos_csr/exclude_csr are CLOSED OVER
+# by the jitted epoch/eval programs (unlike the tower tables, which ride
+# `state.tables` as jit arguments), and closed-over device arrays bake into
+# the HLO as literals — the remote-compile tunnel 413'd at a 514 MB literal
+# (r3 finding), so four CSRs at 64 MB stay well under that cliff.
+_PADDED_COLS_MAX_BYTES = 64 * 1024 * 1024
 
 
 def padded_cols_viable(n_rows: int, max_row_len: int, nnz: int) -> bool:
@@ -248,17 +253,25 @@ def csr_rows_to_dense(
         iota = jnp.arange(csr.n_cols, dtype=jnp.int32)
         hit = (cols[..., None] == iota) & mask[..., None]
         return hit.any(axis=-2).astype(dtype)
+    # flatten multi-dim row batches through the einsum: XLA tiles the LAST
+    # TWO dims, so a [..., wn, 128] einsum over a multi-dim batch lands in a
+    # transposed-batch layout whose reshape to [..., n_cols] is a full-size
+    # retiling copy (1.7 ms/step at the Onion item-tower shape — r3
+    # profile); flat [R, L] keeps einsum → [R, wn·128] view free, leaving
+    # one unavoidable reshape at the output
+    cols2 = cols.reshape(-1, cols.shape[-1])
+    mask2 = mask.reshape(-1, mask.shape[-1])
     wn = (csr.n_cols + 127) // 128
-    ohw = ((cols[..., None] // 128 == jnp.arange(wn, dtype=jnp.int32))
-           & mask[..., None]).astype(jnp.bfloat16)  # [..., L, wn]
-    ohr = (cols[..., None] % 128 == jnp.arange(128, dtype=jnp.int32)
-           ).astype(jnp.bfloat16)  # [..., L, 128]
-    dense = jnp.einsum("...lw,...lr->...wr", ohw, ohr,
+    ohw = ((cols2[..., None] // 128 == jnp.arange(wn, dtype=jnp.int32))
+           & mask2[..., None]).astype(jnp.bfloat16)  # [R, L, wn]
+    ohr = (cols2[..., None] % 128 == jnp.arange(128, dtype=jnp.int32)
+           ).astype(jnp.bfloat16)  # [R, L, 128]
+    dense = jnp.einsum("blw,blv->bwv", ohw, ohr,
                        preferred_element_type=jnp.float32)
-    dense = dense.reshape(*cols.shape[:-1], wn * 128)
+    dense = dense.reshape(cols2.shape[0], wn * 128)
     if wn * 128 != csr.n_cols:
-        dense = dense[..., :csr.n_cols]
-    return dense.astype(dtype)
+        dense = dense[:, :csr.n_cols]
+    return dense.astype(dtype).reshape(*cols.shape[:-1], csr.n_cols)
 
 
 def _searchsorted_segment(
@@ -326,27 +339,32 @@ def csr_contains_rows(csr: DeviceCSR, rows: jax.Array, cols: jax.Array
     K·log L instead of L per row."""
     if csr.nnz == 0:
         return jnp.zeros((*rows.shape, cols.shape[-1]), bool)
-    seg_ok = (csr.nnz * 4 <= _SEG_GATHER_MAX_BYTES
-              and jax.default_backend() == "tpu")
-    if csr.max_row_len <= (2048 if seg_ok else 128):
-        row_cols, row_mask = csr_row_gather(csr, rows)  # [B, L]
-        return contains_pregathered(row_cols, row_mask, cols)
+    pre = contains_rows_pregather(csr, rows)
+    if pre is not None:
+        return contains_pregathered(*pre, cols)
     return csr_contains(csr, rows[..., None], cols)
 
 
 def contains_rows_pregather(csr: DeviceCSR, rows: jax.Array):
-    """The ``(row_cols, row_mask)`` gather `csr_contains_rows` would perform
-    for these rows, or ``None`` when it would take the bisection path.
+    """The ``(row_cols, row_mask)`` gather `csr_contains_rows` performs for
+    these rows, or ``None`` when the bisection path applies — this IS
+    `csr_contains_rows`' dispatch (single source of truth).
 
     Lets rejection-sampling loops hoist the per-round row fetch: the fetch
     is loop-invariant, but inside a `fori_loop` body XLA re-runs it every
     round (8 rounds re-gathered ≈ 1.6 ms/step at Onion scale, 2M-nnz CSR —
-    r3 profile). Pair with `contains_pregathered` in the loop body."""
+    r3 profile). Pair with `contains_pregathered` in the loop body.
+
+    Compare-path gate: the row fetch must be cheap — the Pallas segment
+    gather (small nnz) or a padded-cols row gather (`with_cols_pad`) extend
+    it to L ≤ 2048; with only the XLA element-gather fallback available the
+    bisection wins past L = 128."""
     if csr.nnz == 0:
         return None
-    seg_ok = (csr.nnz * 4 <= _SEG_GATHER_MAX_BYTES
-              and jax.default_backend() == "tpu")
-    if csr.max_row_len <= (2048 if seg_ok else 128):
+    fetch_ok = (csr.cols_pad is not None
+                or (csr.nnz * 4 <= _SEG_GATHER_MAX_BYTES
+                    and jax.default_backend() == "tpu"))
+    if csr.max_row_len <= (2048 if fetch_ok else 128):
         return csr_row_gather(csr, rows)
     return None
 
