@@ -60,9 +60,16 @@ def main(argv=None):
                    help="include the score next to each item id")
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--dtype", default="float32",
-                   choices=("float32", "bfloat16"),
-                   help="low-precision GEMM inputs for dot models "
+                   choices=("float32", "bfloat16", "int8"),
+                   help="low-precision GEMM inputs for dot models: bfloat16 "
+                        "= one MXU pass; int8 = per-row post-training "
+                        "quantization, 4x smaller item table "
                         "(see serve.Recommender)")
+    p.add_argument("--selection", default="exact",
+                   choices=("exact", "approx"),
+                   help="approx = lax.approx_max_k ranking at "
+                        "--recall_target (exclusions stay exact)")
+    p.add_argument("--recall_target", type=float, default=0.95)
     p.add_argument("--include_seen", action="store_true",
                    help="do NOT exclude already-interacted items")
     args = p.parse_args(argv)
@@ -73,6 +80,7 @@ def main(argv=None):
         args.run_dir, split=args.split_set, k=args.k,
         batch_size=args.batch_size,
         dtype=None if args.dtype == "float32" else args.dtype,
+        selection=args.selection, recall_target=args.recall_target,
         exclude_seen=not args.include_seen)
     users = _parse_users(args.users, rec.dataset)
     ids, scores = rec.recommend(users, k=args.k, return_scores=True)

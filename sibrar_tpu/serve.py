@@ -27,6 +27,32 @@ import numpy as np
 from sibrar_tpu.data.dataset import DeviceData, RecDataset
 
 
+def quantize_rows_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization: ``q = round(x / s)`` with
+    ``s = max|row| / 127`` (floored at a tiny epsilon so all-zero rows stay
+    zero instead of dividing by 0). Returns ``(q int8 [R, D], s f32 [R])``;
+    dequantization is ``q.astype(f32) * s[:, None]``."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[:, None]),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _int8_scores(u_repr: jax.Array, q_items: jax.Array,
+                 s_items: jax.Array) -> jax.Array:
+    """int8×int8 → int32 score GEMM with per-row scales on both sides.
+
+    The contraction runs natively on the MXU's int8 path (2× bf16
+    throughput on v5e) and the dequant is two rank-1 scale products fused
+    into the epilogue. Exact given the quantized inputs: int32 accumulation
+    over D ≤ 2^15 int8 products cannot overflow (|acc| ≤ D·127²)."""
+    q_u, s_u = quantize_rows_int8(u_repr)
+    acc = jax.lax.dot_general(q_u, q_items, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * s_u[:, None] * s_items[None, :]
+
+
 class Recommender:
     """Serve exact top-k recommendations for user ids of a fitted model.
 
@@ -52,14 +78,37 @@ class Recommender:
         removed from their ranking, exactly as in evaluation.
     dtype:
         Optional low-precision serving mode for dot-product models:
-        ``"bfloat16"`` casts the GEMM inputs (user representations and the
-        item table) once at build, turning the score matmul from three
-        bf16 MXU passes (XLA's f32 spelling) into one, with f32
-        accumulation. Selection stays EXACT for the scores it is given —
-        only the scores themselves are bf16-input approximations (~3e-3
-        relative), the standard serving trade. Ignored (with a warning)
-        when the model exposes no ``dot_parts``. Default None = full f32,
+
+        - ``"bfloat16"`` casts the GEMM inputs (user representations and
+          the item table) once at build, turning the score matmul from
+          three bf16 MXU passes (XLA's f32 spelling) into one, with f32
+          accumulation. Scores are bf16-input approximations (~3e-3
+          relative), the standard serving trade.
+        - ``"int8"`` post-training-quantizes BOTH GEMM sides with per-row
+          symmetric scales (``q = round(x / s)``, ``s = max|row|/127``):
+          the item table once at build, the user representations per step.
+          The score matmul runs int8×int8 → int32 on the MXU (2× bf16
+          throughput on v5e) and dequantizes with the two rank-1 scale
+          vectors. Item-table HBM residency/read drops 4× vs f32 — the
+          dominant cost of LOW-BATCH serving, where the step is
+          table-read-bound rather than scores-write-bound. Score error is
+          ~1% relative (two 7-bit mantissa sides).
+
+        Selection stays EXACT for the scores it is given in both modes, and
+        exclusion semantics are exact. Ignored (with a warning) when the
+        model exposes no ``dot_parts``. Default None = full f32,
         bit-identical to evaluation.
+    selection:
+        ``"exact"`` (default) runs the evaluator's exact masked top-k
+        chain. ``"approx"`` swaps the ranking step for
+        ``jax.lax.approx_max_k`` at ``recall_target`` — TPU's native
+        PartialReduce selection — after applying the exclusions exactly
+        (excluded items can never surface; only the top-k *ranking* is
+        approximate). The latency knob for serving fleets where per-item
+        recall@k is an SLO, not a proof obligation. Single-device path
+        only: with a multi-chip mesh the per-shard exact chain already
+        amortizes selection over shards, so ``"approx"`` logs a warning
+        and serves exact.
     """
 
     def __init__(self, score_fn: Callable, dataset: RecDataset,
@@ -67,7 +116,9 @@ class Recommender:
                  k: int = 100, batch_size: int = 256,
                  exclude_seen: bool = True, mesh=None,
                  dot_interpret: bool = False,
-                 dtype: Optional[str] = None):
+                 dtype: Optional[str] = None,
+                 selection: str = "exact",
+                 recall_target: float = 0.95):
         self.dataset = dataset
         self.data = device_data if device_data is not None else dataset.to_device()
         self.k = min(k, dataset.n_items_in_split)
@@ -76,6 +127,13 @@ class Recommender:
         self.score_fn = score_fn
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype) if dtype is not None else None
+        if selection not in ("exact", "approx"):
+            raise ValueError(f"unknown selection mode {selection!r} "
+                             "(expected 'exact' or 'approx')")
+        if not (0.0 < recall_target <= 1.0):
+            raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
+        self.selection = selection
+        self.recall_target = recall_target
         # test hook: run the Pallas kernels in interpret mode (CI covers the
         # mesh dot path on the virtual CPU mesh)
         self.dot_interpret = dot_interpret
@@ -99,6 +157,7 @@ class Recommender:
         score_fn = self.score_fn
         dot_parts = getattr(score_fn, "dot_parts", None)
 
+        int8_parts = None  # (user_repr_fn, q_items, s_items) when dtype=int8
         if self.dtype is not None:
             if dot_parts is None:
                 import logging
@@ -107,6 +166,21 @@ class Recommender:
                     "dtype=%s requested but the score_fn exposes no "
                     "dot_parts; serving stays in the score_fn's own "
                     "precision", self.dtype)
+            elif self.dtype == jnp.int8:
+                # post-training quantization: the item table once at build,
+                # the user side per step. The quantized table rides the
+                # SCORES path (the fused f32/bf16 dot kernels don't apply),
+                # threaded as a jit argument on the single-device step —
+                # closed-over device arrays bake into the HLO as literals
+                # (dev-notes r3: a 514 MB closure blew the remote-compile
+                # request limit).
+                _urf, _items = dot_parts
+                _q, _s = quantize_rows_int8(jnp.asarray(_items))
+                int8_parts = (_urf, _q, _s)
+                dot_parts = None
+
+                def score_fn(u_idxs, _f=_urf, _qi=_q, _si=_s):
+                    return _int8_scores(_f(u_idxs), _qi, _si)
             else:
                 # low-precision GEMM inputs, cast ONCE at build (the item
                 # table) / per step on the tiny [B, d] side. Every branch
@@ -123,6 +197,13 @@ class Recommender:
                                    preferred_element_type=jnp.float32)
 
         if self.mesh is not None and self.mesh.shape.get("item", 1) > 1:
+            if self.selection == "approx":
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "selection='approx' is a single-device knob; the mesh "
+                    "path amortizes exact per-shard selection over the item "
+                    "axis already — serving exact")
             # multi-chip serving: catalog sharded over the item axis with the
             # evaluator's per-shard selection + tiny [B, k] candidate merge.
             # Dot models ride the per-shard fused GEMM→peel chain
@@ -187,7 +268,8 @@ class Recommender:
             return jax.jit(scatter_step)
 
         use_dot = False
-        if dot_parts is not None and jax.default_backend() == "tpu":
+        if (dot_parts is not None and jax.default_backend() == "tpu"
+                and self.selection == "exact"):
             from sibrar_tpu.ops.pallas_peel import peel_viable
 
             c = self.dataset.n_items_in_split
@@ -240,9 +322,38 @@ class Recommender:
             jit_step = jax.jit(step)
             return lambda u_idxs: jit_step(u_idxs, items, csr)
 
+        approx = self.selection == "approx"
+        recall_target = self.recall_target
+
+        def _rank(scores, u_idxs, csr_arg):
+            if not approx:
+                return masked_topk(scores, csr_arg, u_idxs, k, method="auto")
+            # approximate mode: exclusions applied EXACTLY (scatter fill),
+            # only the ranking step is approx_max_k's PartialReduce
+            from sibrar_tpu.ops.sparse import csr_row_gather, scatter_fill_rows
+
+            if csr.max_row_len:
+                cols, mask = csr_row_gather(csr_arg, u_idxs)
+                scores = scatter_fill_rows(scores, cols, mask,
+                                           n_cols=scores.shape[1], fill=-1e30)
+            return jax.lax.approx_max_k(scores, k,
+                                        recall_target=recall_target)
+
+        if int8_parts is not None:
+            # quantized item table + scales ride as jit ARGUMENTS (see the
+            # int8 branch above for why closures are off the table)
+            _urf, _q, _s = int8_parts
+
+            def step(u_idxs, csr_arg, q_arg, s_arg):
+                scores = _int8_scores(_urf(u_idxs), q_arg, s_arg)
+                return _rank(scores, u_idxs, csr_arg)
+
+            jit_step = jax.jit(step)
+            return lambda u_idxs: jit_step(u_idxs, csr, _q, _s)
+
         def step(u_idxs, csr_arg):
             scores = score_fn(u_idxs)
-            return masked_topk(scores, csr_arg, u_idxs, k, method="auto")
+            return _rank(scores, u_idxs, csr_arg)
 
         jit_step = jax.jit(step)
         return lambda u_idxs: jit_step(u_idxs, csr)

@@ -318,3 +318,126 @@ def test_serve_recs_cli(tmp_path):
                   n_users=30, n_items=40, n_interactions=600,
                   seed=15)["val"].items_in_split))
     assert all(set(r["items"]) <= cat for r in rows)
+
+
+def test_quantize_rows_int8_roundtrip():
+    """Per-row symmetric quantization: zero rows stay zero, reconstruction
+    error is bounded by half a quantization step per element."""
+    from sibrar_tpu.serve import quantize_rows_int8
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((9, 33)).astype(np.float32) * 5.0
+    x[4] = 0.0
+    q, s = quantize_rows_int8(jnp.asarray(x))
+    q, s = np.asarray(q), np.asarray(s)
+    assert q.dtype == np.int8 and s.dtype == np.float32
+    assert np.all(q[4] == 0)
+    recon = q.astype(np.float32) * s[:, None]
+    assert np.max(np.abs(recon - x)) <= 0.5 * s.max() + 1e-6
+    # scales hit the full int8 range on the row max
+    assert np.all(np.abs(q).max(axis=1)[np.arange(9) != 4] == 127)
+
+
+def test_recommend_int8_matches_int8_oracle(splits):
+    """dtype="int8" serving: selection is exact for the quantized scores
+    (oracle = same per-row quantization, integer matmul, same dequant
+    order), and exclusion stays exact."""
+    from sibrar_tpu.serve import quantize_rows_int8
+
+    val = splits["val"]
+    score_fn, u_np, i_np = _dot_score_fn(val.n_users, val.n_items_in_split,
+                                         seed=11)
+    rec = Recommender(score_fn, val, k=10, batch_size=16, dtype="int8")
+    users = np.asarray(val.users_in_split)[:20]
+    ids, scores = rec.recommend(users, return_scores=True)
+
+    q_i, s_i = map(np.asarray, quantize_rows_int8(jnp.asarray(i_np)))
+    q_u, s_u = map(np.asarray, quantize_rows_int8(jnp.asarray(u_np[users])))
+    acc = q_u.astype(np.int32) @ q_i.astype(np.int32).T  # exact integers
+    full = (acc.astype(np.float32) * s_u[:, None]) * s_i[None, :]
+    csr = rec.data.exclude_csr
+    indptr, indices = np.asarray(csr.indptr), np.asarray(csr.indices)
+    cat = np.asarray(val.items_in_split)
+    for r, u in enumerate(users):
+        banned = indices[indptr[u]:indptr[u + 1]]
+        assert not set(ids[r]) & set(cat[banned])
+        row = full[r].copy()
+        row[banned] = -np.inf
+        np.testing.assert_allclose(
+            np.sort(scores[r])[::-1],
+            np.sort(row, kind="stable")[::-1][:10], rtol=1e-6)
+    # quantization is mild: the int8 lists overlap the f32 lists heavily
+    exact = Recommender(score_fn, val, k=10, batch_size=16)
+    ids_f32 = exact.recommend(users)
+    overlap = np.mean([len(set(a) & set(b)) for a, b in zip(ids, ids_f32)])
+    assert overlap >= 7.0, overlap
+
+
+def test_recommend_approx_selection(splits):
+    """selection="approx": exclusions are exact; on CPU approx_max_k lowers
+    to the exact fallback, so lists match the exact recommender."""
+    val = splits["val"]
+    score_fn, u_np, i_np = _dot_score_fn(val.n_users, val.n_items_in_split,
+                                         seed=4)
+    approx = Recommender(score_fn, val, k=10, batch_size=16,
+                         selection="approx", recall_target=0.9)
+    exact = Recommender(score_fn, val, k=10, batch_size=16)
+    users = np.asarray(val.users_in_split)[:20]
+    ids_a, sc_a = approx.recommend(users, return_scores=True)
+    ids_e, sc_e = exact.recommend(users, return_scores=True)
+    csr = exact.data.exclude_csr
+    indptr, indices = np.asarray(csr.indptr), np.asarray(csr.indices)
+    cat = np.asarray(val.items_in_split)
+    for r, u in enumerate(users):
+        banned = indices[indptr[u]:indptr[u + 1]]
+        assert not set(ids_a[r]) & set(cat[banned])
+    np.testing.assert_allclose(sc_a, sc_e, rtol=1e-6)
+    np.testing.assert_array_equal(ids_a, ids_e)
+
+
+def test_recommend_int8_approx_compose(splits):
+    """int8 quantization + approx selection compose (the latency-serving
+    stack): valid ids, exclusions exact."""
+    val = splits["val"]
+    score_fn, _, _ = _dot_score_fn(val.n_users, val.n_items_in_split, seed=6)
+    rec = Recommender(score_fn, val, k=5, batch_size=8, dtype="int8",
+                      selection="approx")
+    users = np.asarray(val.users_in_split)[:10]
+    ids = rec.recommend(users)
+    cat = set(int(i) for i in np.asarray(val.items_in_split))
+    assert all(set(map(int, row)) <= cat for row in ids)
+    csr = rec.data.exclude_csr
+    indptr, indices = np.asarray(csr.indptr), np.asarray(csr.indices)
+    catalog = np.asarray(val.items_in_split)
+    for r, u in enumerate(users):
+        banned = indices[indptr[u]:indptr[u + 1]]
+        assert not set(map(int, ids[r])) & set(map(int, catalog[banned]))
+
+
+def test_recommend_selection_validation(splits):
+    val = splits["val"]
+    score_fn, _, _ = _dot_score_fn(val.n_users, val.n_items_in_split)
+    with pytest.raises(ValueError, match="selection"):
+        Recommender(score_fn, val, selection="fastest")
+    with pytest.raises(ValueError, match="recall_target"):
+        Recommender(score_fn, val, selection="approx", recall_target=0.0)
+
+
+def test_recommend_int8_mesh_scores_path():
+    """int8 + mesh: the quantized score_fn rides the per-shard scatter chain
+    (the fused dot path is f32/bf16-only) and matches single-device int8."""
+    from sibrar_tpu.parallel.mesh import make_mesh
+
+    sp = make_synthetic_splits(n_users=16, n_items=600, n_interactions=500,
+                               seed=9)
+    val = sp["val"]
+    score_fn, _, _ = _dot_score_fn(val.n_users, val.n_items_in_split, seed=5)
+    mesh = make_mesh(8, item_parallelism=2)
+    sharded = Recommender(score_fn, val, k=10, batch_size=8, mesh=mesh,
+                          dtype="int8")
+    plain = Recommender(score_fn, val, k=10, batch_size=8, dtype="int8")
+    users = np.asarray(val.users_in_split)[:12]
+    ids_s, sc_s = sharded.recommend(users, return_scores=True)
+    ids_p, sc_p = plain.recommend(users, return_scores=True)
+    np.testing.assert_allclose(sc_p, sc_s, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(ids_p, ids_s)
