@@ -5,7 +5,9 @@ that pops hyperparameters from `wandb.config`, merges base configs, runs
 train+val+test, deletes model files of runs outside the top-N) and
 `run_agent.py:20-103` (process launcher). Two modes:
 
-- **local** (default, no external service): a self-contained random/grid search
+- **local** (default, no external service): a self-contained random/grid/bayes
+  search (bayes = the TPE optimizer in `sibrar_tpu/tpe.py` — the reference
+  paper grid is 120/140 ``method: bayes`` sweeps, W&B-server-optimized there)
   driven by a sweep YAML with the same spirit as W&B sweep files —
   ``parameters: {key.path: {values: [...] | min/max/distribution}}`` — running
   trials sequentially in-process (one TPU ≡ one trial at a time; the
@@ -37,7 +39,7 @@ from sibrar_tpu.utils.misc import generate_id
 
 @dataclass
 class SweepConfig:
-    method: str = "random"  # 'random' | 'grid'
+    method: str = "random"  # 'random' | 'grid' | 'bayes' (local TPE)
     metric: str = "val/ndcg@10"
     goal: str = "maximize"
     n_trials: int = 20
@@ -91,6 +93,11 @@ def _grid_points(parameters: dict[str, Any]) -> list[dict[str, Any]]:
 def sample_trials(sweep: SweepConfig) -> list[dict[str, Any]]:
     if sweep.method == "grid":
         return _grid_points(sweep.parameters)
+    if sweep.method != "random":
+        # 'bayes' is sequential (suggest depends on observed objectives) —
+        # run_sweep drives it through TPESampler, there is no up-front list
+        raise ValueError(f"cannot pre-sample trials for method "
+                         f"{sweep.method!r}")
     rng = np.random.default_rng(sweep.seed)
     return [
         {k: _sample_value(rng, spec) for k, spec in sweep.parameters.items()}
@@ -111,12 +118,36 @@ def run_sweep(sweep: SweepConfig, results_base: str,
     from sibrar_tpu.experiment import run_train_val_test
 
     run_fn = run_fn or run_train_val_test
-    trials = sample_trials(sweep)[trial_offset:]
-    if max_trials is not None:
-        trials = trials[:max_trials]
+    sign = 1.0 if sweep.goal == "maximize" else -1.0
+    sampler = None
+    if sweep.method == "bayes":
+        # local TPE (sibrar_tpu/tpe.py) — the zero-egress replacement for
+        # the reference grid's W&B server-side bayes (120/140 sweep yamls).
+        # Trial-sharded workers optimize INDEPENDENTLY on their own history
+        # with offset-decorrelated seeds (the reference gets shared state
+        # from the W&B server; a shared-history coordinator would need a
+        # results_base lock) — still a portfolio of TPE runs, which is the
+        # standard parallelization of sequential optimizers.
+        from sibrar_tpu.tpe import TPESampler
+
+        sampler = TPESampler(sweep.parameters,
+                             seed=sweep.seed + 7919 * trial_offset)
+        n = sweep.n_trials - trial_offset
+        if max_trials is not None:
+            n = min(n, max_trials)
+        trials = range(max(n, 0))
+    else:
+        if sweep.method not in ("random", "grid"):
+            raise ValueError(f"unknown sweep method {sweep.method!r} "
+                             "(expected 'random' | 'grid' | 'bayes')")
+        trials = sample_trials(sweep)[trial_offset:]
+        if max_trials is not None:
+            trials = trials[:max_trials]
 
     records = []
     for t, params in enumerate(trials):
+        if sampler is not None:
+            params = sampler.suggest()
         conf_dict = copy.deepcopy(sweep.base_config)
         conf_dict = extend_by_base_configs(conf_dict)
         for key, value in params.items():
@@ -132,6 +163,9 @@ def run_sweep(sweep: SweepConfig, results_base: str,
             "metrics": {**val_metrics, **test_metrics},
             "results_path": conf.results_path,
         })
+        if sampler is not None:
+            m = records[-1]["metrics"].get(sweep.metric)
+            sampler.observe(params, None if m is None else sign * float(m))
         # per-worker state file: trial-sharded workers (--trial-offset
         # fan-out, run_agent.py) share results_base and would clobber one
         # another through a single sweep_state.yml
@@ -140,7 +174,6 @@ def run_sweep(sweep: SweepConfig, results_base: str,
         yaml_save(os.path.join(results_base, state_name),
                   {"records": [{k: v for k, v in r.items()} for r in records]})
 
-    sign = 1.0 if sweep.goal == "maximize" else -1.0
     # sign-aware missing-metric sentinel: a trial without the sweep metric
     # must rank LAST under either goal (with a plain -inf sentinel, the
     # minimize goal's sign flip turned it into +inf — rank FIRST, so a

@@ -141,10 +141,21 @@ def test_paper_grid_sweep_confs_load():
     paths = sorted(glob.glob(os.path.join(CONF_DIR, "sweeps", "**", "*.yml"),
                              recursive=True))
     assert len(paths) >= 7
+    n_bayes = 0
     for p in paths:
         sweep = load_sweep_config(p)
-        trials = sample_trials(sweep)
+        if sweep.method == "bayes":
+            # sequential method: validate the parameter space by drawing
+            # one startup suggestion from a fresh TPE sampler
+            from sibrar_tpu.tpe import TPESampler
+
+            trials = [TPESampler(sweep.parameters, seed=0).suggest()]
+            n_bayes += 1
+        else:
+            trials = sample_trials(sweep)
         assert trials, p
         assert sweep.base_config.get("algorithm"), p
         # the resolved chain reaches base.yml
         assert sweep.base_config["learn"]["optimizing_metric"] == "ndcg@10", p
+    # the paper grid is Bayesian like the reference's (120/140 W&B bayes)
+    assert n_bayes >= 40
