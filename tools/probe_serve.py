@@ -4,7 +4,9 @@ Builds a dot-product recommender at production scale and measures per-call
 latency of `recommend` for a fixed user batch (the jitted step never
 retraces). One jitted program.
 
-Usage: python tools/probe_serve.py [C] [batch] [dtype]
+Usage: python tools/probe_serve.py [C] [batch] [dtype] [selection]
+
+dtype: float32 | bfloat16 | int8; selection: exact | approx
 """
 import json
 import os
@@ -26,6 +28,9 @@ def main():
     C = int(sys.argv[1]) if len(sys.argv) > 1 else 100_352
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     dtype = sys.argv[3] if len(sys.argv) > 3 else None
+    if dtype == "float32":
+        dtype = None
+    selection = sys.argv[4] if len(sys.argv) > 4 else "exact"
     n_users, d, k = 50_000, 256, 100
     from sibrar_tpu.data.dataset import RecDataset
     from sibrar_tpu.serve import Recommender
@@ -47,7 +52,8 @@ def main():
         return u_mat[u] @ items.T
 
     score_fn.dot_parts = (lambda u: u_mat[u], items)
-    rec = Recommender(score_fn, ds, k=k, batch_size=bs, dtype=dtype)
+    rec = Recommender(score_fn, ds, k=k, batch_size=bs, dtype=dtype,
+                      selection=selection)
 
     users = rng.integers(0, n_users, bs).astype(np.int32)
     rec.recommend(users)  # compile + warm
@@ -60,6 +66,7 @@ def main():
     lat = np.array(lat) * 1e3
     print(json.dumps({
         "catalog": C, "batch": bs, "k": k, "dtype": dtype or "float32",
+        "selection": selection,
         "p50_ms": round(float(np.percentile(lat, 50)), 2),
         "p95_ms": round(float(np.percentile(lat, 95)), 2),
         "users_per_sec": round(bs / (np.percentile(lat, 50) / 1e3)),
