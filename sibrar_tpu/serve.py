@@ -157,7 +157,16 @@ class Recommender:
         score_fn = self.score_fn
         dot_parts = getattr(score_fn, "dot_parts", None)
 
-        int8_parts = None  # (user_repr_fn, q_items, s_items) when dtype=int8
+        # Every scores-path program below consumes
+        # ``score_call(u_idxs, *score_args)`` with ``score_args`` threaded as
+        # jit ARGUMENTS: closed-over device arrays bake into the HLO as
+        # literal constants (dev-notes r3: a 514 MB item-table closure blew
+        # the remote-compile tunnel's request limit) — that applies to the
+        # mesh scatter chain and the eager redo exactly as much as to the
+        # single-device step. The user table inside the caller's score_fn is
+        # the caller's closure; keep user-side tables small or jit them as
+        # arguments upstream.
+        score_call, score_args = None, ()
         if self.dtype is not None:
             if dot_parts is None:
                 import logging
@@ -169,32 +178,41 @@ class Recommender:
             elif self.dtype == jnp.int8:
                 # post-training quantization: the item table once at build,
                 # the user side per step. The quantized table rides the
-                # SCORES path (the fused f32/bf16 dot kernels don't apply),
-                # threaded as a jit argument on the single-device step —
-                # closed-over device arrays bake into the HLO as literals
-                # (dev-notes r3: a 514 MB closure blew the remote-compile
-                # request limit).
+                # SCORES path (the fused f32/bf16 dot kernels don't apply).
                 _urf, _items = dot_parts
                 _q, _s = quantize_rows_int8(jnp.asarray(_items))
-                int8_parts = (_urf, _q, _s)
                 dot_parts = None
+                score_args = (_q, _s)
 
-                def score_fn(u_idxs, _f=_urf, _qi=_q, _si=_s):
-                    return _int8_scores(_f(u_idxs), _qi, _si)
+                def score_call(u_idxs, q_arg, s_arg, _f=_urf):
+                    return _int8_scores(_f(u_idxs), q_arg, s_arg)
             else:
                 # low-precision GEMM inputs, cast ONCE at build (the item
                 # table) / per step on the tiny [B, d] side. Every branch
                 # below — fused kernels, the sharded chain, and the scatter
-                # redo's score_fn — consumes the same cast parts, so a redo
+                # redo's score_call — consumes the same cast parts, so a redo
                 # ranks the same bf16-input scores the fast path ranked.
                 dtype = self.dtype
                 _urf, _items = dot_parts
                 _items = jnp.asarray(_items, dtype)
                 dot_parts = ((lambda u, _f=_urf: _f(u).astype(dtype)), _items)
+                score_args = (_items,)
 
-                def score_fn(u_idxs, _parts=dot_parts):
-                    return jnp.dot(_parts[0](u_idxs), _parts[1].T,
-                                   preferred_element_type=jnp.float32)
+                def score_call(u_idxs, items_arg, _f=_urf, _dt=dtype):
+                    # dot_general contracting on items' dim 1 (NOT
+                    # `items_arg.T` — with the table as a jit argument XLA
+                    # fuses the transpose into the dot and the f32
+                    # accumulation order drifts an ulp off the eager/
+                    # constant-folded oracle; contracting dims keep bit
+                    # parity with `jnp.dot(u, items.T)`)
+                    return jax.lax.dot_general(
+                        _f(u_idxs).astype(_dt), items_arg,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+        if score_call is None:
+
+            def score_call(u_idxs, _f=score_fn):
+                return _f(u_idxs)
 
         if self.mesh is not None and self.mesh.shape.get("item", 1) > 1:
             if self.selection == "approx":
@@ -231,8 +249,8 @@ class Recommender:
                 return (jnp.zeros((u_idxs.shape[0], 1), jnp.int32),
                         jnp.zeros((u_idxs.shape[0], 1), bool))
 
-            def scatter_step(u_idxs):
-                scores = score_fn(u_idxs)
+            def scatter_step(u_idxs, *sargs):
+                scores = score_call(u_idxs, *sargs)
                 cols, mask = _excl(u_idxs)
                 if pad:
                     scores = jnp.pad(scores, ((0, 0), (0, pad)),
@@ -244,11 +262,13 @@ class Recommender:
                 # gather in `recommend` stays in range
                 return v, jnp.minimum(i, n_catalog - 1)
 
+            jit_scatter = jax.jit(scatter_step)
+
             interp = self.dot_interpret
             if dot_parts is not None and sharded_dot_viable(
                     n_catalog, k, max(e, 1), mesh, interpret=interp):
                 user_repr_fn, items = dot_parts
-                self._redo_step = jax.jit(scatter_step)
+                self._redo_step = lambda u: jit_scatter(u, *score_args)
 
                 def step(u_idxs, items_arg):
                     u_repr = user_repr_fn(u_idxs)
@@ -265,7 +285,7 @@ class Recommender:
                 jit_step = jax.jit(step)
                 return lambda u_idxs: jit_step(u_idxs, items)
 
-            return jax.jit(scatter_step)
+            return lambda u_idxs: jit_scatter(u_idxs, *score_args)
 
         use_dot = False
         if (dot_parts is not None and jax.default_backend() == "tpu"
@@ -339,24 +359,12 @@ class Recommender:
             return jax.lax.approx_max_k(scores, k,
                                         recall_target=recall_target)
 
-        if int8_parts is not None:
-            # quantized item table + scales ride as jit ARGUMENTS (see the
-            # int8 branch above for why closures are off the table)
-            _urf, _q, _s = int8_parts
-
-            def step(u_idxs, csr_arg, q_arg, s_arg):
-                scores = _int8_scores(_urf(u_idxs), q_arg, s_arg)
-                return _rank(scores, u_idxs, csr_arg)
-
-            jit_step = jax.jit(step)
-            return lambda u_idxs: jit_step(u_idxs, csr, _q, _s)
-
-        def step(u_idxs, csr_arg):
-            scores = score_fn(u_idxs)
+        def step(u_idxs, csr_arg, *sargs):
+            scores = score_call(u_idxs, *sargs)
             return _rank(scores, u_idxs, csr_arg)
 
         jit_step = jax.jit(step)
-        return lambda u_idxs: jit_step(u_idxs, csr)
+        return lambda u_idxs: jit_step(u_idxs, csr, *score_args)
 
     # ------------------------------------------------------------------ serve
     def recommend(self, user_ids, k: Optional[int] = None,
