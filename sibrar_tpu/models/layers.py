@@ -355,6 +355,49 @@ _DENSIFY_MAX_BYTES = 2 << 30
 # interpret-capable kernels), False = off.
 INTERACTION_SPMM = False
 
+# Backward-pass dW kernel for the dense path (ops/pallas_dw): computes
+# dW = dense^T @ g without XLA's full-matrix transposed copy of the
+# densified rows. "auto" = pallas on TPU when viable, True = force,
+# "interpret" = interpret-mode pallas (CPU tests), False = plain XLA.
+DW_KERNEL = "auto"
+
+
+@jax.custom_vjp
+def _dense_first_matmul(vec, kernel):
+    """``vec @ kernel`` whose backward treats ``vec`` as a CONSTANT (zero
+    cotangent — the densified interaction rows never depend on params) and
+    computes dW through the transpose-free pallas GEMM when available."""
+    return vec @ kernel
+
+
+def _dfm_fwd(vec, kernel):
+    return vec @ kernel, (vec,)
+
+
+def _dfm_bwd(res, g):
+    (vec,) = res
+    from sibrar_tpu.ops.pallas_dw import dw_matmul, dw_viable
+
+    use = DW_KERNEL
+    if use == "auto":
+        # single-device TPU only: under a mesh, GSPMD can't partition the
+        # pallas_call (DP row-sharded vec/g would gather) — the XLA matmul
+        # partial-sums per shard instead
+        use = (jax.default_backend() == "tpu" and jax.device_count() == 1)
+    if use is True or use == "auto":
+        use = use and dw_viable(vec.shape[0], vec.shape[1], g.shape[1],
+                                vec.dtype.itemsize)
+    if use == "interpret":
+        dw = dw_matmul(vec, g, interpret=True)
+    elif use:
+        dw = dw_matmul(vec, g)
+    else:
+        dw = vec.T.astype(jnp.float32) @ g
+    return jnp.zeros_like(vec), dw
+
+
+_dense_first_matmul.defvjp(_dfm_fwd, _dfm_bwd)
+
 
 class InteractionTower(nn.Module):
     """MLP tower over an entity's train-interaction vector, with a sparse
@@ -455,7 +498,7 @@ class InteractionTower(nn.Module):
             if self.normalize:
                 norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
                 vec = vec / jnp.maximum(norm, 1e-8)
-            pre = (vec @ kernel).reshape(*idxs.shape, h)
+            pre = _dense_first_matmul(vec, kernel).reshape(*idxs.shape, h)
         if scale is not None:
             pre = pre * scale
         x = pre + bias
