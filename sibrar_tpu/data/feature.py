@@ -101,6 +101,37 @@ class Feature:
             raise TypeError(f"value_indices_groups unsupported for {self.type}")
         return self._value_indices_groups
 
+    def dense_table(self) -> np.ndarray:
+        """Float [n_entities, d] matrix suitable for similarity math
+        (ItemFeatureKNN; reference algorithms/knn_algs.py:129-140 consumes
+        the feature as a float matrix).
+
+        TAG features stored as padded integer tag codes are densified to
+        multi-hot 0/1, CATEGORICAL codes to one-hot — cosine over raw code
+        values would be meaningless. Already-dense tables pass through as
+        float32; 1-D numerics become a column; MATRIX flattens per entity.
+        """
+        t = self.type
+        if t == FeatureType.TAG and not self.multi_hot:
+            n_tags = len(self.unique_values)
+            out = np.zeros((self.n_entities, n_tags), dtype=np.float32)
+            codes = self.table  # [n, width] with padding_idx fill
+            valid = codes != self.padding_idx
+            rows = np.repeat(np.arange(self.n_entities), valid.sum(axis=1))
+            out[rows, codes[valid]] = 1.0
+            return out
+        if t == FeatureType.CATEGORICAL and not self.one_hot:
+            n_cat = len(self.unique_values)
+            out = np.zeros((self.n_entities, n_cat), dtype=np.float32)
+            out[self.present, self.table[self.present]] = 1.0
+            return out
+        table = np.asarray(self.table, dtype=np.float32)
+        if table.ndim == 1:
+            return table[:, None]
+        if table.ndim > 2:
+            return table.reshape(self.n_entities, -1)
+        return table
+
     def __getitem__(self, idx):
         return self.table[idx]
 

@@ -84,7 +84,9 @@ def _fit_matrix_algorithm(alg, train_ds: RecDataset):
     feature_name = getattr(alg, "feature_name", None)
     if feature_name:
         feat = train_ds.item_features[feature_name]
-        kwargs["feature_matrix"] = np.asarray(feat.table, dtype=np.float32)
+        # dense_table densifies TAG/CATEGORICAL code tables to multi-/one-hot
+        # before similarity (reference algorithms/knn_algs.py:129-140)
+        kwargs["feature_matrix"] = feat.dense_table()
     alg.fit(matrix=train_ds.user_sampling_matrix, **kwargs)
 
 

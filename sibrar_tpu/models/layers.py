@@ -27,6 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 ACTIVATION_FN_MAP: dict[str, Callable] = {
     "relu": nn.relu,
@@ -379,14 +380,25 @@ def _dfm_bwd(res, g):
     from sibrar_tpu.ops.pallas_dw import dw_matmul, dw_viable
 
     use = DW_KERNEL
+    forced = use is True
     if use == "auto":
-        # single-device TPU only: under a mesh, GSPMD can't partition the
-        # pallas_call (DP row-sharded vec/g would gather) — the XLA matmul
-        # partial-sums per shard instead
-        use = (jax.default_backend() == "tpu" and jax.device_count() == 1)
-    if use is True or use == "auto":
-        use = use and dw_viable(vec.shape[0], vec.shape[1], g.shape[1],
-                                vec.dtype.itemsize)
+        # single-device, single-process TPU only: under a mesh, GSPMD can't
+        # partition the pallas_call (DP row-sharded vec/g would gather) —
+        # the XLA matmul partial-sums per shard instead. process_count
+        # guards the one-device-per-process multi-host case.
+        use = (jax.default_backend() == "tpu" and jax.device_count() == 1
+               and jax.process_count() == 1)
+    if use is True:
+        use = dw_viable(vec.shape[0], vec.shape[1], g.shape[1],
+                        vec.dtype.itemsize)
+        if forced and not use:
+            # DW_KERNEL=True is still viability-gated: an unviable shape
+            # would compile-fail in Mosaic, so demote loudly rather than die
+            import warnings
+            warnings.warn(
+                "DW_KERNEL=True demoted to the XLA matmul: no in-budget "
+                f"block decomposition for shape {vec.shape} x {g.shape}",
+                stacklevel=2)
     if use == "interpret":
         dw = dw_matmul(vec, g, interpret=True)
     elif use:
@@ -498,6 +510,10 @@ class InteractionTower(nn.Module):
             if self.normalize:
                 norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
                 vec = vec / jnp.maximum(norm, 1e-8)
+            # stop_gradient enforces structurally what _dense_first_matmul's
+            # custom VJP assumes: vec (CSR-derived 0/1 rows) never depends
+            # on params, so its zero cotangent is exact
+            vec = lax.stop_gradient(vec)
             pre = _dense_first_matmul(vec, kernel).reshape(*idxs.shape, h)
         if scale is not None:
             pre = pre * scale

@@ -105,8 +105,26 @@ def dw_matmul(vec: jax.Array, g: jax.Array, *,
         # pad path: full-matrix HBM copies — correctness fallback for
         # unaligned shapes (tests, small models); production callers gate
         # on dw_viable and ride XLA instead
-        rb, cb = min(256, -(-r // 8) * 8), min(512, -(-c // 128) * 128)
         hp = -(-h // 128) * 128
+        itemsize = vec.dtype.itemsize
+        rb = cb = None
+        # shrink blocks until the (double-buffered inputs + out tile) set
+        # fits Mosaic's scoped-VMEM window — large h would otherwise
+        # compile-fail ("scoped allocation exceeds 16.00M")
+        for cb_try in (512, 256, 128):
+            for rb_try in (256, 128, 64, 32, 16, 8):
+                need = (2 * rb_try * cb_try * itemsize
+                        + 2 * rb_try * hp * 4 + cb_try * hp * 4)
+                if need <= _VMEM_BUDGET:
+                    rb, cb = rb_try, cb_try
+                    break
+            if rb is not None:
+                break
+        if rb is None:
+            raise ValueError(
+                f"dw_matmul pad fallback cannot fit VMEM for h={h} "
+                f"(hp={hp}); use the XLA matmul instead")
+        rb, cb = min(rb, -(-r // 8) * 8), min(cb, -(-c // 128) * 128)
         rp, cp = -(-r // rb) * rb, -(-c // cb) * cb
         vec = jnp.pad(vec, ((0, rp - r), (0, cp - c)))
     else:

@@ -111,3 +111,52 @@ def test_cold_start_artifact_round_trip(tmp_path):
     ds = RecDataset.load(out, "test")
     assert ds.split_type == DatasetSplitType.COLD_START_ITEM
     assert ds.n_items_in_split == splits["test"].n_items_in_split
+
+
+def test_tag_dense_table_multi_hot():
+    # padded-int TAG tables must densify to multi-hot before similarity
+    # (reference knn_algs.py:129-140 consumes a float matrix)
+    f = Feature.build(
+        FeatureDefinition("genres", FeatureType.TAG),
+        ["action|comedy", "drama", "action|drama|scifi"], n_entities=4,
+        indices=np.array([0, 1, 3]),
+    )
+    dt = f.dense_table()
+    assert dt.shape == (4, 4) and dt.dtype == np.float32
+    vm = f.value_map
+    expect = np.zeros((4, 4), dtype=np.float32)
+    expect[0, [vm["action"], vm["comedy"]]] = 1.0
+    expect[1, vm["drama"]] = 1.0
+    expect[3, [vm["action"], vm["drama"], vm["scifi"]]] = 1.0
+    np.testing.assert_array_equal(dt, expect)
+    # multi_hot tables pass through identically
+    f2 = Feature.build(
+        FeatureDefinition("genres", FeatureType.TAG),
+        ["action|comedy", "drama", "action|drama|scifi"], n_entities=4,
+        indices=np.array([0, 1, 3]), multi_hot=True,
+    )
+    np.testing.assert_array_equal(f2.dense_table(), expect)
+
+
+def test_categorical_dense_table_one_hot():
+    f = Feature.build(
+        FeatureDefinition("color", FeatureType.CATEGORICAL),
+        ["red", "blue", "red"], n_entities=4, indices=np.array([0, 1, 3]),
+    )
+    dt = f.dense_table()
+    assert dt.shape == (4, 2)
+    vm = f.value_map
+    expect = np.zeros((4, 2), dtype=np.float32)
+    expect[0, vm["red"]] = 1.0
+    expect[1, vm["blue"]] = 1.0
+    expect[3, vm["red"]] = 1.0
+    np.testing.assert_array_equal(dt, expect)
+
+
+def test_numeric_dense_table_column():
+    f = Feature.build(
+        FeatureDefinition("year", FeatureType.CONTINUOUS),
+        np.array([1.0, 2.0, 3.0]), n_entities=3)
+    dt = f.dense_table()
+    assert dt.shape == (3, 1)
+    np.testing.assert_allclose(dt[:, 0], [1.0, 2.0, 3.0])

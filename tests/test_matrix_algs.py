@@ -176,3 +176,36 @@ def test_similarity_kernels_match_hand_computed(kind, shrinkage):
                                    shrinkage=shrinkage, **kwargs)
     ref = _hand_similarity(m, kind, shrinkage=shrinkage, **kwargs)
     np.testing.assert_allclose(got.toarray(), ref, rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------ ifknn over TAG
+def test_ifknn_over_tag_feature_hand_checked():
+    """ItemFeatureKNN over a TAG genre feature: similarity must be computed
+    over the densified multi-hot matrix, not the padded integer codes
+    (reference algorithms/knn_algs.py:129-140)."""
+    from sibrar_tpu.config.schema import FeatureDefinition, FeatureType
+    from sibrar_tpu.data.feature import Feature
+    from sibrar_tpu.models.matrix_algs import ItemFeatureKNN
+
+    # items: 0 {a}, 1 {a,b}, 2 {b}, 3 {c}
+    feat = Feature.build(
+        FeatureDefinition("genres", FeatureType.TAG),
+        ["a", "a|b", "b", "c"], n_entities=4)
+    fm = feat.dense_table()
+    # cosine similarities: s(0,1)=1/sqrt2, s(1,2)=1/sqrt2, s(0,2)=0, item 3
+    # shares nothing
+    alg = ItemFeatureKNN(k=4, feature_name="genres")
+    train = sp.csr_matrix(np.array([
+        [1, 0, 0, 0],   # user 0 interacted with item 0 only
+        [0, 0, 0, 1],   # user 1 with item 3 only
+    ], dtype=np.float32))
+    alg.fit(matrix=train, feature_matrix=fm)
+    pred = alg.pred_mtx
+    s = 1.0 / np.sqrt(2.0)
+    # self-similarity is excluded; user 0's scores are item 0's sim row
+    np.testing.assert_allclose(pred[0], [0.0, s, 0.0, 0.0], atol=1e-5)
+    # item 3 shares no genre with anything
+    np.testing.assert_allclose(pred[1], [0.0, 0.0, 0.0, 0.0], atol=1e-5)
+    # the broken pre-fix behavior (similarity over integer code values)
+    # would have made item 3 (code row [2,pad]) similar to items 0-2
+    assert pred[1, 0] == 0.0 and pred[1, 1] == 0.0
