@@ -680,17 +680,121 @@ def _parity_child() -> None:
         }))
 
 
+def bench_serve() -> dict:
+    """Serving-layer latency (VERDICT r3 weak #5): steady-state p50 of
+    `serve.Recommender.recommend` at the bench catalog scale for each
+    serving mode — f32 / bf16 / int8 PTQ / approx selection at batch 256,
+    plus the batch-1 interactive case. One jitted program per mode; requests
+    pad to the fixed batch so repeated calls never retrace."""
+    import jax.numpy as jnp
+
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.serve import Recommender
+
+    n_users, d, k = 20_000, D, K
+    rng = np.random.default_rng(3)
+    pairs = np.unique(np.stack([
+        rng.integers(0, n_users, 600_000),
+        rng.integers(0, C, 600_000)], axis=1), axis=0)
+    ds = RecDataset(split_set="val", n_users=n_users, n_items=C,
+                    interactions=pairs[: len(pairs) // 5].astype(np.int64),
+                    train_interactions=pairs[len(pairs) // 5:].astype(np.int64),
+                    item_features={}, user_features={})
+    dd = ds.to_device()
+    u_mat = jnp.asarray(rng.standard_normal((n_users, d)).astype(np.float32))
+    items = jnp.asarray(
+        rng.standard_normal((ds.n_items_in_split, d)).astype(np.float32))
+
+    def score_fn(u):
+        return u_mat[u] @ items.T
+
+    score_fn.dot_parts = (lambda u: u_mat[u], items)
+
+    out = {}
+    modes = [("f32_b256", 256, None, "exact"),
+             ("bf16_b256", 256, "bfloat16", "exact"),
+             ("int8_b256", 256, "int8", "exact"),
+             ("approx_b256", 256, None, "approx"),
+             ("f32_b1", 1, None, "exact")]
+    for name, bs, dtype, selection in modes:
+        rec = Recommender(score_fn, ds, dd, k=k, batch_size=bs,
+                          dtype=dtype, selection=selection)
+        users = rng.integers(0, n_users, bs).astype(np.int32)
+        rec.recommend(users)  # compile + warm
+        lat = []
+        for _ in range(20):
+            batch = rng.integers(0, n_users, bs).astype(np.int32)
+            t0 = time.perf_counter()
+            rec.recommend(batch)
+            lat.append(time.perf_counter() - t0)
+        out[f"serve_{name}_p50_ms"] = round(
+            float(np.percentile(np.array(lat) * 1e3, 50)), 2)
+    return out
+
+
+def bench_trained_parity_subprocess() -> dict:
+    """End-to-end trained-quality parity (VERDICT r3 #1) in a CPU-pinned
+    subprocess: train the executed torch reference AND sibrar_tpu on shared
+    artifacts, report converged best-val ndcg@10 for both. One seed each —
+    the statistical multi-seed gate lives in tests/test_trained_parity.py."""
+    env = {
+        k: v for k, v in os.environ.items()
+        if not (k.startswith("PALLAS_AXON") or k.startswith("AXON_")
+                or k.startswith("TPU_") or k in ("JAX_PLATFORMS", "XLA_FLAGS"))
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    here = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--trained-parity-child"],
+        env=env, cwd=here, capture_output=True, text=True, timeout=1200)
+    if proc.returncode != 0:
+        return {"trained_parity_error": proc.stderr[-500:]}
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def _trained_parity_child() -> None:
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    from trained_parity import (
+        make_artifacts,
+        train_ours_mf,
+        train_ours_sbnet,
+        train_reference_mf,
+        train_reference_sbnet,
+    )
+
+    with tempfile.TemporaryDirectory() as out:
+        make_artifacts(out)
+        mf_ref = train_reference_mf(out, seed=0)
+        mf_ours = train_ours_mf(out, seed=0)
+        sb_ref = train_reference_sbnet(out, seed=0)
+        sb_ours = train_ours_sbnet(out, seed=0)
+        print(json.dumps({
+            "trained_parity_mf_ref": round(mf_ref, 4),
+            "trained_parity_mf_ours": round(mf_ours, 4),
+            "trained_parity_mf_delta": round(mf_ours - mf_ref, 4),
+            "trained_parity_sbnet_ref": round(sb_ref, 4),
+            "trained_parity_sbnet_ours": round(sb_ours, 4),
+            "trained_parity_sbnet_delta": round(sb_ours - sb_ref, 4),
+        }))
+
+
 def main():
     from sibrar_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     parity = bench_parity_subprocess()
+    trained = bench_trained_parity_subprocess()
+    parity.update(trained)
     ours, eval_ms = bench_jax()
     fused = bench_jax_fused()
     large = bench_jax_large()
     large.update(bench_jax_large_dot())
     train_sps, train_ms = bench_train_jax()
     onion = _guarded(bench_train_sbnet_onion, errkey="train_onion_error")
+    serve = _guarded(bench_serve, errkey="serve_error")
     mf_sps, mf_ms = bench_train_mf_sparse()
     base = bench_torch()
     base_train = bench_train_torch()
@@ -701,6 +805,7 @@ def main():
         "train_steps_per_sec": round(train_sps, 2),
         "train_ms_per_step": round(train_ms, 3),
         **onion,
+        **serve,
         "train_mf500k_sparse_steps_per_sec": round(mf_sps, 2),
         "train_mf500k_sparse_ms_per_step": round(mf_ms, 3),
         "train_vs_torch_cpu": (round(train_sps / base_train, 2)
@@ -720,5 +825,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--parity-child":
         _parity_child()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--trained-parity-child":
+        _trained_parity_child()
     else:
         main()

@@ -98,4 +98,113 @@ def protomf_post_val(params: dict, entity: str, epoch: int,
             entity_name=entity.capitalize() + "s")
         if png:
             out[f"{entity}_tsne_plot"] = png
+        if entity == "item":
+            # per-prototype closest-item listings (reference get_top_k_items)
+            sim = np.asarray(shifted_cosine_sim(table, protos))
+            report = os.path.join(results_dir,
+                                  f"proto_top_items_{epoch}.csv")
+            prototype_top_items_report(sim, top_k=10, out_path=report)
+            out["item_proto_top_items"] = report
     return out
+
+
+def prototype_top_items(item_weights: np.ndarray, proto_idx: int,
+                        top_k: int = 10, item_info=None,
+                        invert: bool = False) -> dict:
+    """Top-k item listing for one prototype (reference
+    `explanations/utils.get_top_k_items`, utils.py:60-83): ranks items by
+    their weight toward ``proto_idx`` (`invert=True` = farthest items).
+
+    ``item_weights`` is ``[n_items, n_prototypes]`` — an item↔prototype
+    similarity matrix or per-prototype logit weights, depending on the model
+    side. ``item_info`` may be a pandas DataFrame with an ``item_idx``
+    column (extra columns — title, artist — are joined into the listing) or
+    None for bare indices. Returns {"item_idx": [...], "weight": [...]}
+    plus any joined info columns.
+    """
+    if proto_idx >= item_weights.shape[1]:
+        raise ValueError(
+            f"proto_idx {proto_idx} out of range for "
+            f"{item_weights.shape[1]} prototypes")
+    w = np.asarray(item_weights[:, proto_idx])
+    order = np.argsort(w if invert else -w)[:top_k]
+    out = {"item_idx": order.tolist(), "weight": w[order].tolist()}
+    if item_info is not None:
+        sub = item_info.set_index("item_idx").loc[order]
+        for col in sub.columns:
+            out[str(col)] = sub[col].tolist()
+    return out
+
+
+def prototype_top_items_report(item_weights: np.ndarray, top_k: int = 10,
+                               item_info=None,
+                               out_path: Optional[str] = None) -> list:
+    """Per-prototype top-item listings for EVERY prototype, optionally
+    written as a CSV report (prototype, rank, item_idx, weight[, info…]).
+    The offline analog of the reference's notebook-driven prototype
+    inspection."""
+    rows = []
+    for p in range(item_weights.shape[1]):
+        top = prototype_top_items(item_weights, p, top_k=top_k,
+                                  item_info=item_info)
+        for r, (idx, w) in enumerate(zip(top["item_idx"], top["weight"])):
+            row = {"prototype": p, "rank": r, "item_idx": idx, "weight": w}
+            for col, vals in top.items():
+                if col not in ("item_idx", "weight"):
+                    row[col] = vals[r]
+            rows.append(row)
+    if out_path:
+        import csv
+
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w", newline="") as fh:
+            writer = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+            writer.writeheader()
+            writer.writerows(rows)
+    return rows
+
+
+def weight_contribution_figure(u_sim: np.ndarray, i_proj: np.ndarray,
+                               i_sim: np.ndarray, u_proj: np.ndarray,
+                               out_path: str,
+                               annotate_top_k: int = 3) -> Optional[str]:
+    """Per-recommendation weight diagnostic for UIProtoMF (reference
+    `weight_visualization`, utils.py:85-171): for one (user, item) pair,
+    bar-plot each side's prototype-similarity vector, the OTHER side's
+    per-prototype projection weights, and their elementwise product (the
+    per-prototype logit contributions), annotating the top contributors.
+    Returns the saved PNG path, or None without matplotlib."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+
+    u_sim, i_proj = np.asarray(u_sim), np.asarray(i_proj)
+    i_sim, u_proj = np.asarray(i_sim), np.asarray(u_proj)
+    panels = [
+        ("user prototypes", u_sim, i_proj, u_sim * i_proj),
+        ("item prototypes", i_sim, u_proj, i_sim * u_proj),
+    ]
+    fig, axes = plt.subplots(3, 2, figsize=(10, 8), sharex="col")
+    for col, (title, sim, proj, prod) in enumerate(panels):
+        x = np.arange(len(sim))
+        for row, (vec, label) in enumerate([
+                (prod, "contribution (sim × weight)"),
+                (proj, "other-side projection weight"),
+                (sim, "prototype similarity")]):
+            ax = axes[row][col]
+            ax.bar(x, vec, color="tab:blue")
+            ax.set_ylabel(label, fontsize=8)
+            for p in np.argsort(-prod)[:annotate_top_k]:
+                ax.annotate(str(int(p)), (x[p], vec[p]), fontsize=9,
+                            ha="center", va="bottom")
+        axes[0][col].set_title(
+            f"{title} (Σ contribution = {prod.sum():.3f})")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

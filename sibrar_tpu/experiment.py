@@ -249,6 +249,12 @@ def run_test(conf: ExperimentConfig, log_fn=None) -> dict:
                               mesh=mesh)
 
     wandb_run = _maybe_wandb(conf)
+    if wandb_run is not None and hasattr(wandb_run, "define_metric"):
+        # custom x-axis for test metrics: logging test/* at step 0 is
+        # rejected on already-running W&B runs (reference
+        # experiment_helper.py:139-145)
+        wandb_run.define_metric("test/step")
+        wandb_run.define_metric("test/*", step_metric="test/step")
     _log = log_fn or _make_log_fn(conf, wandb_run)
 
     if spec.kind == "sgd":

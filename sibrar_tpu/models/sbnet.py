@@ -283,6 +283,27 @@ class PlainEntityModule(RecModel):
         return self.net(idxs, train=train)
 
 
+class PlainIdEmbeddingModule(RecModel):
+    """Plain id-embedding entity tower for the synthetic '{entity}_embedding'
+    feature (reference sgd_alg.py:2028-2032 treats the entity id as a
+    categorical feature). Embeds the batch ids DIRECTLY — routing ids through
+    a FeatureEmbeddingModule's device table would read the zero-initialized
+    'tables' variable (`populate_tables` only splices real dataset features),
+    collapsing every entity onto embedding row 0 (caught by the r4
+    trained-quality parity harness: SBNet val ndcg@10 0.12 vs the executed
+    reference's 0.19 on identical artifacts/hyperparameters)."""
+
+    n_entities: int
+    dim: int
+
+    def setup(self):
+        self.embedding = Embedding(self.n_entities, self.dim,
+                                   name="embedding")
+
+    def __call__(self, idxs, train: bool = False):
+        return self.embedding(idxs)
+
+
 class SingleBranchNet(RecModel):
     user_module: RecModel
     item_module: RecModel
@@ -310,9 +331,8 @@ class SingleBranchNet(RecModel):
                 fc = from_dict(SBFeatureModuleConfig, econf)
                 emb_dim = fc.embedding_dim if fc.embedding_dim != -1 else shared_common_dim
                 if fc.feature_name == f"{entity}_embedding":
-                    module = feature_module_from(
-                        _IdFeature(n_entities), f"{entity}__{fc.feature_name}",
-                        embedding_dim=emb_dim)
+                    return PlainIdEmbeddingModule(n_entities=n_entities,
+                                                  dim=emb_dim)
                 elif fc.feature_name == "interactions":
                     # reference no-user/no-item family (e.g.
                     # sbnet_ml1m_huge_no-item_conf.yml): the plain tower
@@ -410,18 +430,3 @@ class SingleBranchNet(RecModel):
         return SingleBranchNet(
             user_module=build_entity("user"), item_module=build_entity("item"))
 
-
-class _IdFeature:
-    """Minimal stand-in Feature for the synthetic '{entity}_embedding' modality."""
-
-    def __init__(self, n: int):
-        import numpy as np
-
-        from sibrar_tpu.config.schema import FeatureDefinition, FeatureType
-
-        self.type = FeatureType.CATEGORICAL
-        self.one_hot = False
-        self.multi_hot = False
-        self.n_unique_categories = n
-        self.table = np.arange(n, dtype=np.int32)
-        self.definition = FeatureDefinition("id", FeatureType.CATEGORICAL)

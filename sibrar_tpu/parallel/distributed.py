@@ -33,8 +33,18 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         "JAX_COORDINATOR_ADDRESS"))
     if not (explicit or auto):
         return False
-    if jax.process_count() > 1:  # already initialized
-        return True
+    # already-initialized check WITHOUT touching jax.process_count():
+    # process_count() initializes the local backend, after which
+    # jax.distributed.initialize refuses to run ("must be called before any
+    # JAX computations") — the exact trap that made this module dead
+    # scaffolding in r3
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return True
+    except ImportError:  # private-module layout changed; fall through
+        pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

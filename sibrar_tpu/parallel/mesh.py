@@ -192,24 +192,84 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 
 # --------------------------------------------------------------------- topk merge
-def _merge_local_topk(v, i, k: int, kk: int, local_c: int, ok=None):
+def hierarchical_item_groups(mesh: Mesh):
+    """Item-axis positions grouped by hosting process, for the hierarchical
+    ICI→DCN top-k merge (SURVEY §5.8). Returns a tuple of equal-sized
+    contiguous groups — one per host — or ``None`` when the flat one-stage
+    merge is already optimal (single host, or one shard per host).
+
+    Correctness never depends on the grouping matching the physical hosts
+    (any uniform partition of the axis merges exactly); the grouping only
+    decides which gathers ride ICI vs DCN.
+    """
+    n_items = mesh.shape[ITEM_AXIS]
+    if n_items <= 1:
+        return None
+    col_axis = mesh.axis_names.index(ITEM_AXIS)
+    devs = np.moveaxis(mesh.devices, col_axis, -1).reshape(-1, n_items)
+    procs = [getattr(d, "process_index", 0) for d in devs[0]]
+    groups, cur = [], [0]
+    for j in range(1, n_items):
+        if procs[j] == procs[j - 1]:
+            cur.append(j)
+        else:
+            groups.append(cur)
+            cur = [j]
+    groups.append(cur)
+    sizes = {len(g) for g in groups}
+    if len(groups) <= 1 or len(sizes) != 1 or sizes == {1}:
+        return None
+    return tuple(tuple(g) for g in groups)
+
+
+def _merge_local_topk(v, i, k: int, kk: int, local_c: int, ok=None,
+                      item_groups=None):
     """Inside-shard_map candidate merge shared by every distributed top-k:
     globalize the local indices, pad kk→k so the gathered layout is uniform,
     all-gather the tiny [local_b, k] candidate sets over the item axis, and
     re-select top-k. The index merge is an integer one-hot contraction — a
     take_along_axis lane gather scalarizes at ~20 ns/element on TPU, and a
     float einsum would ride the MXU's lossy bf16 passes (indices must stay
-    bit-exact). ``ok`` per-row flags, when given, AND-reduce across shards."""
+    bit-exact). ``ok`` per-row flags, when given, AND-reduce across shards.
+
+    With ``item_groups`` (from `hierarchical_item_groups`) the merge is
+    two-stage: candidates first gather WITHIN each host's shard group (ICI)
+    and re-select down to k, then the per-host winners gather ACROSS hosts
+    (DCN) via transposed axis_index_groups — every member of a host group
+    holds identical stage-1 winners, so gathering the j-th member of each
+    group moves exactly one copy per host. Per-device DCN traffic drops from
+    (n_shards − shards_per_host)·k to (n_hosts − 1)·k candidates.
+    """
     shard_id = jax.lax.axis_index(ITEM_AXIS)
     i = i + shard_id * local_c
     if kk < k:
         v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
         i = jnp.pad(i, ((0, 0), (0, k - kk)))
-    v_all = jax.lax.all_gather(v, ITEM_AXIS, axis=1, tiled=True)
-    i_all = jax.lax.all_gather(i, ITEM_AXIS, axis=1, tiled=True)
-    vk, pos = jax.lax.top_k(v_all, k)
-    oh = pos[:, :, None] == jnp.arange(i_all.shape[1], dtype=pos.dtype)
-    idx = jnp.sum(jnp.where(oh, i_all[:, None, :], 0), axis=-1)
+
+    def select(v_all, i_all):
+        vk, pos = jax.lax.top_k(v_all, k)
+        oh = pos[:, :, None] == jnp.arange(i_all.shape[1], dtype=pos.dtype)
+        return vk, jnp.sum(jnp.where(oh, i_all[:, None, :], 0), axis=-1)
+
+    if item_groups is not None:
+        groups1 = [list(g) for g in item_groups]
+        # transposed groups: the j-th member of every host group
+        groups2 = [[g[j] for g in item_groups]
+                   for j in range(len(item_groups[0]))]
+        v1 = jax.lax.all_gather(v, ITEM_AXIS, axis=1, tiled=True,
+                                axis_index_groups=groups1)
+        i1 = jax.lax.all_gather(i, ITEM_AXIS, axis=1, tiled=True,
+                                axis_index_groups=groups1)
+        vh, ih = select(v1, i1)  # per-host winners (intra-host / ICI)
+        v2 = jax.lax.all_gather(vh, ITEM_AXIS, axis=1, tiled=True,
+                                axis_index_groups=groups2)
+        i2 = jax.lax.all_gather(ih, ITEM_AXIS, axis=1, tiled=True,
+                                axis_index_groups=groups2)
+        vk, idx = select(v2, i2)  # cross-host winners (DCN)
+    else:
+        v_all = jax.lax.all_gather(v, ITEM_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, ITEM_AXIS, axis=1, tiled=True)
+        vk, idx = select(v_all, i_all)
     if ok is None:
         return vk, idx
     ok = jnp.min(jax.lax.all_gather(ok.astype(jnp.int32), ITEM_AXIS,
@@ -229,6 +289,8 @@ def sharded_topk(
     scores: jax.Array,  # [B, C] sharded as P(None, ITEM_AXIS)
     k: int,
     mesh: Mesh,
+    *,
+    item_groups="auto",
 ) -> tuple[jax.Array, jax.Array]:
     """Distributed full-catalog top-k: per-shard ``lax.top_k`` over the local
     catalog slice, then an all-gather of the tiny ``[B, k]`` candidate sets and
@@ -247,6 +309,7 @@ def sharded_topk(
     if c % n_shards:
         raise ValueError(f"catalog size {c} not divisible by {n_shards} item shards")
     local_c = c // n_shards
+    groups = hierarchical_item_groups(mesh) if item_groups == "auto" else item_groups
     bpad = (-b) % mesh.shape[DATA_AXIS]
     if bpad:
         scores = jnp.pad(scores, ((0, bpad), (0, 0)), constant_values=-jnp.inf)
@@ -258,7 +321,8 @@ def sharded_topk(
         # exact windowed top-k per shard (falls back to lax.top_k when the
         # local slice is too small for windowing to pay)
         v, i = windowed_topk(s, kk)
-        return _merge_local_topk(v, i, k, kk, local_c)
+        return _merge_local_topk(v, i, k, kk, local_c,
+                                 item_groups=groups)
 
     fn = jax.shard_map(
         local_topk,
@@ -281,6 +345,7 @@ def sharded_masked_topk(
     use_peel: Optional[bool] = None,
     return_ok: bool = False,
     interpret: bool = False,
+    item_groups="auto",
 ):
     """Distributed exclusion + exact top-k without the full [B, C] scatter:
     each item shard masks only the exclusion columns that land in its local
@@ -316,6 +381,7 @@ def sharded_masked_topk(
     if c % n_shards:
         raise ValueError(f"catalog size {c} not divisible by {n_shards} item shards")
     local_c = c // n_shards
+    groups = hierarchical_item_groups(mesh) if item_groups == "auto" else item_groups
     e = excl_cols.shape[1]
     bpad = (-b) % mesh.shape[DATA_AXIS]
     if bpad:
@@ -349,7 +415,8 @@ def sharded_masked_topk(
             s = scatter_fill_rows(s, lc, lmask, n_cols=local_c, fill=_NEG)
             v, i = windowed_topk(s, kk)
             ok = jnp.ones(s.shape[0], bool)
-        return _merge_local_topk(v, i, k, kk, local_c, ok=ok)
+        return _merge_local_topk(v, i, k, kk, local_c, ok=ok,
+                                 item_groups=groups)
 
     fn = jax.shard_map(
         local_fn,
@@ -392,6 +459,7 @@ def sharded_masked_topk_dot(
     mesh: Mesh,
     *,
     interpret: bool = False,
+    item_groups="auto",
 ):
     """Multi-chip fused dot eval: the catalog shards over the item axis, the
     user batch over the data axis, and EVERY shard runs the full single-chip
@@ -416,6 +484,7 @@ def sharded_masked_topk_dot(
     c = items.shape[0]
     cp = pad_to_multiple(c, n_shards)
     local_c = cp // n_shards
+    groups = hierarchical_item_groups(mesh) if item_groups == "auto" else item_groups
     if cp != c:
         items = jnp.pad(items, ((0, cp - c), (0, 0)))
         # exclude the zero-score pad items via the exclusion channel
@@ -455,7 +524,8 @@ def sharded_masked_topk_dot(
         fn = peel_masked_topk_dot if dot_ok else peel_masked_topk
         v, i, ok = fn(lu, li, lc, lmask, kk, tb=tb, interpret=interpret,
                       with_fallback=False)
-        return _merge_local_topk(v, i, k, kk, local_c, ok=ok)
+        return _merge_local_topk(v, i, k, kk, local_c, ok=ok,
+                                 item_groups=groups)
 
     fn = jax.shard_map(
         local_fn,

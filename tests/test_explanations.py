@@ -1,5 +1,6 @@
 """Explanation-hook tests for the ProtoMF family."""
 import numpy as np
+import pytest
 
 from sibrar_tpu.eval.explanations import (
     prototype_statistics,
@@ -48,3 +49,74 @@ def test_protomf_post_val_from_trained_params(tmp_path):
     out = protomf_post_val(params, "user", epoch=0, results_dir=str(tmp_path))
     assert "user_proto_sim_mean" in out
     assert "user_tsne_plot" in out
+
+
+def test_prototype_top_items_hand_checked():
+    """Reference get_top_k_items semantics (utils.py:60-83): rank by the
+    prototype's column, invert=True flips to farthest."""
+    import pandas as pd
+
+    from sibrar_tpu.eval.explanations import prototype_top_items
+
+    w = np.array([[0.1, 0.9],
+                  [0.8, 0.2],
+                  [0.5, 0.5],
+                  [0.3, 0.7]], dtype=np.float32)
+    info = pd.DataFrame({"item_idx": [0, 1, 2, 3],
+                         "title": ["a", "b", "c", "d"]})
+    top = prototype_top_items(w, proto_idx=0, top_k=2, item_info=info)
+    assert top["item_idx"] == [1, 2]
+    assert top["title"] == ["b", "c"]
+    np.testing.assert_allclose(top["weight"], [0.8, 0.5])
+    far = prototype_top_items(w, proto_idx=0, top_k=2, invert=True)
+    assert far["item_idx"] == [0, 3]
+    with pytest.raises(ValueError):
+        prototype_top_items(w, proto_idx=2)
+
+
+def test_prototype_top_items_report_csv(tmp_path):
+    import csv
+
+    from sibrar_tpu.eval.explanations import prototype_top_items_report
+
+    rng = np.random.default_rng(0)
+    w = rng.random((20, 3)).astype(np.float32)
+    out = str(tmp_path / "report.csv")
+    rows = prototype_top_items_report(w, top_k=5, out_path=out)
+    assert len(rows) == 15  # 3 prototypes x 5 items
+    with open(out) as fh:
+        parsed = list(csv.DictReader(fh))
+    assert len(parsed) == 15
+    # rank 0 of each prototype is its argmax column entry
+    for p in range(3):
+        first = next(r for r in parsed
+                     if r["prototype"] == str(p) and r["rank"] == "0")
+        assert int(first["item_idx"]) == int(w[:, p].argmax())
+
+
+def test_weight_contribution_figure(tmp_path):
+    from sibrar_tpu.eval.explanations import weight_contribution_figure
+
+    rng = np.random.default_rng(1)
+    png = weight_contribution_figure(
+        rng.random(6), rng.random(6), rng.random(4), rng.random(4),
+        str(tmp_path / "w.png"))
+    if png is not None:  # matplotlib present in this image
+        import os
+
+        assert os.path.getsize(png) > 0
+
+
+def test_protomf_post_val_emits_item_report(tmp_path):
+    from sibrar_tpu.eval.explanations import protomf_post_val
+
+    rng = np.random.default_rng(2)
+    params = {
+        "prototypes": rng.normal(size=(4, 8)).astype(np.float32),
+        "item_embed": {"embedding": rng.normal(size=(30, 8)).astype(np.float32)},
+    }
+    out = protomf_post_val(params, "item", epoch=1, results_dir=str(tmp_path))
+    assert "item_proto_top_items" in out
+    import os
+
+    assert os.path.exists(out["item_proto_top_items"])

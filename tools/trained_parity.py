@@ -1,0 +1,321 @@
+"""Trained-quality parity harness (VERDICT r3 #1).
+
+Trains the EXECUTED reference (torch, /root/reference) and sibrar_tpu
+end-to-end on the same synthetic artifact directory with the same
+hyperparameters, and compares the CONVERGED best-validation ndcg@10. This is
+the piece weight-transplant parity cannot cover: it demonstrates that our
+training loop (on-device negative sampling, scanned donated epochs, loss
+aggregation, optimizer semantics) reaches the same quality as the
+reference's torch loop (/root/reference/train/trainer.py:98-228,
+algorithms/sgd_alg.py:126-200).
+
+Seeds necessarily differ between frameworks (different RNGs), so the gate is
+statistical: converged metrics agree within a tolerance, not trajectories.
+
+Used by tests/test_trained_parity.py and bench.py (trained_parity_* extras).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (_ROOT, os.path.join(_ROOT, "tests")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+from _reference_shims import install_reference_shims  # noqa: E402
+
+install_reference_shims()
+
+import torch  # noqa: E402
+
+MF_HPARAMS = dict(embedding_dim=16, epochs=25, lr=5e-3, wd=0.0, n_neg=4,
+                  batch_size=128, loss="bpr")
+
+
+def make_artifacts(out_dir: str, n_users: int = 100, n_items: int = 120,
+                   n_interactions: int = 3000, seed: int = 3) -> str:
+    from sibrar_tpu.data.synthetic import (
+        make_synthetic_splits,
+        write_reference_artifacts,
+    )
+
+    splits = make_synthetic_splits(
+        n_users=n_users, n_items=n_items, n_interactions=n_interactions,
+        seed=seed)
+    write_reference_artifacts(out_dir, splits)
+    return out_dir
+
+
+# ------------------------------------------------------------- reference side
+def _reference_val_ndcg(model, ref_val, k: int = 10, batch_size: int = 64):
+    """The reference SGD eval chain (eval/eval.py:207-227) with the
+    reference's own metric code (rmet itself isn't installable here)."""
+    from eval import metrics as ref_metrics
+
+    model.eval()
+    vals = []
+    with torch.no_grad():
+        i_idxs = torch.tensor(ref_val.items_in_split)
+        i_repr = model.get_item_representations(i_idxs)
+        n = len(ref_val)
+        for start in range(0, n, batch_size):
+            batch = [ref_val[r] for r in range(start, min(start + batch_size, n))]
+            u_idxs = torch.tensor(np.array([b[0] for b in batch]))
+            labels = torch.tensor(np.stack([b[2] for b in batch]))
+            u_repr = model.get_user_representations(u_idxs)
+            out = model.combine_user_item_representations(u_repr, i_repr)
+            mask = torch.tensor(
+                ref_val.exclude_data[u_idxs.numpy()].toarray(), dtype=torch.bool)
+            out[mask] = -torch.inf
+            idx_topk = out.topk(k=k).indices
+            vals.append(ref_metrics.ndcg_at_k_batch(
+                out, labels, k=k, aggr_sum=False, idx_topk=idx_topk).numpy())
+    return float(np.concatenate(vals).mean())
+
+
+def train_reference_mf(artifact_dir: str, seed: int = 0,
+                       hparams: dict = MF_HPARAMS) -> float:
+    """Train the reference SGDMatrixFactorization with the reference's own
+    dataset (in-__getitem__ negative sampling), loss, and Adam loop; returns
+    the best validation ndcg@10 over training (trainer.py:125-170 protocol:
+    initial validation, per-epoch validation, best retained)."""
+    from algorithms.sgd_alg import SGDMatrixFactorization as RefMF
+    from data.config_classes import (
+        InteractionDatasetConfig,
+        TrainDatasetConfig,
+    )
+    from data.dataset import FullEvalDataset as RefFullEvalDataset
+    from data.dataset import TrainRecDataset as RefTrainRecDataset
+    from train.rec_losses import (
+        RecBayesianPersonalizedRankingLoss,
+        RecBinaryCrossEntropy,
+    )
+
+    h = dict(MF_HPARAMS, **hparams)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    ref_train = RefTrainRecDataset(TrainDatasetConfig(
+        dataset_path=artifact_dir, split_set="train",
+        n_negative_samples=h["n_neg"]))
+    ref_val = RefFullEvalDataset(InteractionDatasetConfig(
+        dataset_path=artifact_dir, split_set="val"))
+    model = RefMF(ref_train.n_users, ref_train.n_items,
+                  embedding_dim=h["embedding_dim"])
+    loader = torch.utils.data.DataLoader(
+        ref_train, batch_size=h["batch_size"], shuffle=True, num_workers=0)
+    loss_cls = {"bpr": RecBayesianPersonalizedRankingLoss,
+                "bce": RecBinaryCrossEntropy}[h["loss"]]
+    rec_loss = loss_cls(n_items=ref_train.n_items,
+                        train_neg_strategy="uniform", neg_train=h["n_neg"])
+    opt = torch.optim.Adam(model.parameters(), lr=h["lr"],
+                           weight_decay=h["wd"])
+
+    best = _reference_val_ndcg(model, ref_val)
+    for _epoch in range(h["epochs"]):
+        model.train()
+        for u_idxs, i_idxs, labels in loader:
+            out = model(u_idxs, i_idxs)
+            loss = rec_loss.compute_loss(out, labels)
+            loss = loss + model.get_and_reset_other_loss()["reg_loss"]
+            loss.backward()
+            opt.step()
+            opt.zero_grad()
+        best = max(best, _reference_val_ndcg(model, ref_val))
+    return best
+
+
+# ------------------------------------------------------------------ our side
+def train_ours_mf(artifact_dir: str, seed: int = 0,
+                  hparams: dict = MF_HPARAMS) -> float:
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.mf import SGDMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    h = dict(MF_HPARAMS, **hparams)
+    tr = RecDataset.load(artifact_dir, "train")
+    va = RecDataset.load(artifact_dir, "val")
+    model = SGDMatrixFactorization(
+        n_users=tr.n_users, n_items=tr.n_items,
+        embedding_dim=h["embedding_dim"])
+    learn = LearningConfig(
+        n_epochs=h["epochs"], lr=h["lr"], wd=h["wd"], rec_loss=h["loss"],
+        max_patience=h["epochs"] + 1, optimizing_metric="ndcg@10")
+    ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), va,
+                       evaluator_name="val")
+    trainer = Trainer(model, tr, ev, learn,
+                      DatasetConfig(n_negative_samples=h["n_neg"]),
+                      batch_size=h["batch_size"], seed=seed)
+    return float(trainer.fit()["val/ndcg@10"])
+
+
+# -------------------------------------------------------------------- sbnet
+SBNET_HPARAMS = dict(epochs=12, lr=1e-3, wd=0.0, n_neg=4, batch_size=64,
+                     loss="bpr", shared_common_dim=16, common_modality_dim=16,
+                     hidden=(32,), reg_weight=0.1)
+
+# the 2-modality cell: item side single-branches {interactions, audio} with
+# pairwise cross-modal InfoNCE; user side is a plain id embedding (the
+# paper's no-user configuration)
+_SBNET_ITEM_FEATURES = ("interactions", "audio")
+
+
+def _our_sbnet_conf(h: dict) -> dict:
+    return {
+        "shared_common_dim": h["shared_common_dim"],
+        "user": {"feature_name": "user_embedding",
+                 "embedding_dim": h["shared_common_dim"]},
+        "item": {
+            "features": [{"feature_name": f, "feature_hidden_layers": [16]}
+                         for f in _SBNET_ITEM_FEATURES],
+            "single_branch_hidden_layers": list(h["hidden"]),
+            "common_modality_dim": h["common_modality_dim"],
+            "embedding_regularization_type": "pairwise_single",
+            "regularization_weight": h["reg_weight"],
+        },
+    }
+
+
+def train_reference_sbnet(artifact_dir: str, seed: int = 0,
+                          hparams: dict = SBNET_HPARAMS) -> float:
+    """Train the reference SingleBranchNet (sgd_alg.py:2009-2143) with the
+    reference's own entity/feature/InfoNCE machinery executing for real."""
+    from algorithms.sgd_alg import SingleBranchNet as RefSBNet
+    from data.config_classes import (
+        FeatureDefinition,
+        FeatureType,
+        InteractionDatasetConfig,
+        TrainDatasetConfig,
+    )
+    from data.dataset import FullEvalDataset as RefFullEvalDataset
+    from data.dataset import TrainRecDataset as RefTrainRecDataset
+    from data.module_config_classes import (
+        FeatureModuleConfig,
+        SingleBranchFeatureConfig,
+        SingleBranchNetConfig,
+        SingleBranchNetEntityConfig,
+    )
+    from train.rec_losses import RecBayesianPersonalizedRankingLoss
+
+    h = dict(SBNET_HPARAMS, **hparams)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    feat_defs = [FeatureDefinition(name="audio", type=FeatureType.VECTOR)]
+    ref_train = RefTrainRecDataset(TrainDatasetConfig(
+        dataset_path=artifact_dir, split_set="train",
+        n_negative_samples=h["n_neg"], item_feature_definitions=feat_defs,
+        model_requires_train_interactions=True,
+        model_requires_item_interactions=True))
+    ref_val = RefFullEvalDataset(InteractionDatasetConfig(
+        dataset_path=artifact_dir, split_set="val",
+        item_feature_definitions=feat_defs,
+        model_requires_train_interactions=True,
+        model_requires_item_interactions=True))
+    item_cfg = SingleBranchNetEntityConfig(
+        features=[SingleBranchFeatureConfig(feature_name=f,
+                                            feature_hidden_layers=[16])
+                  for f in _SBNET_ITEM_FEATURES],
+        single_branch_hidden_layers=list(h["hidden"]),
+        preference_hidden_layers=list(h["hidden"]),
+        common_modality_dim=h["common_modality_dim"],
+        embedding_regularization_type="pairwise_single",
+        regularization_weight=h["reg_weight"],
+        sampling_seed=seed)
+    # enum coercion happens in from_dict normally; do it by hand here
+    from data.module_config_classes import EmbeddingRegularizationType
+
+    item_cfg.embedding_regularization_type = (
+        EmbeddingRegularizationType.PairwiseSingle)
+    conf = SingleBranchNetConfig(
+        user=FeatureModuleConfig(feature_name="user_embedding",
+                                 embedding_dim=h["shared_common_dim"]),
+        item=item_cfg, shared_common_dim=h["shared_common_dim"])
+    model = RefSBNet(conf, ref_train)
+    loader = torch.utils.data.DataLoader(
+        ref_train, batch_size=h["batch_size"], shuffle=True, num_workers=0)
+    rec_loss = RecBayesianPersonalizedRankingLoss(
+        n_items=ref_train.n_items, train_neg_strategy="uniform",
+        neg_train=h["n_neg"])
+    opt = torch.optim.Adam(model.parameters(), lr=h["lr"],
+                           weight_decay=h["wd"])
+
+    best = _reference_val_ndcg(model, ref_val)
+    for _epoch in range(h["epochs"]):
+        model.train()
+        for u_idxs, i_idxs, labels in loader:
+            out = model(u_idxs, i_idxs)
+            loss = rec_loss.compute_loss(out, labels)
+            loss = loss + model.get_and_reset_other_loss()["reg_loss"]
+            loss.backward()
+            opt.step()
+            opt.zero_grad()
+        best = max(best, _reference_val_ndcg(model, ref_val))
+    return best
+
+
+def train_ours_sbnet(artifact_dir: str, seed: int = 0,
+                     hparams: dict = SBNET_HPARAMS) -> float:
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        FeatureDefinition,
+        FeatureType,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.sbnet import SingleBranchNet
+    from sibrar_tpu.train.trainer import Trainer
+
+    h = dict(SBNET_HPARAMS, **hparams)
+    feat_defs = [FeatureDefinition("audio", FeatureType.VECTOR)]
+    tr = RecDataset.load(artifact_dir, "train",
+                         item_feature_definitions=feat_defs)
+    va = RecDataset.load(artifact_dir, "val",
+                         item_feature_definitions=feat_defs)
+    dd = tr.to_device()
+    model = SingleBranchNet.build_from_conf(_our_sbnet_conf(h), tr, dd)
+    learn = LearningConfig(
+        n_epochs=h["epochs"], lr=h["lr"], wd=h["wd"], rec_loss=h["loss"],
+        max_patience=h["epochs"] + 1, optimizing_metric="ndcg@10")
+    ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), va,
+                       evaluator_name="val")
+    trainer = Trainer(model, tr, ev, learn,
+                      DatasetConfig(n_negative_samples=h["n_neg"]),
+                      batch_size=h["batch_size"], seed=seed, device_data=dd)
+    return float(trainer.fit()["val/ndcg@10"])
+
+
+def trained_parity_sbnet(artifact_dir: str, seeds=(0, 1),
+                         hparams: dict = SBNET_HPARAMS) -> dict:
+    ref = [train_reference_sbnet(artifact_dir, seed=s, hparams=hparams)
+           for s in seeds]
+    ours = [train_ours_sbnet(artifact_dir, seed=s, hparams=hparams)
+            for s in seeds]
+    return {
+        "ref": float(np.mean(ref)), "ours": float(np.mean(ours)),
+        "ref_runs": ref, "ours_runs": ours,
+        "delta": float(np.mean(ours) - np.mean(ref)),
+    }
+
+
+def trained_parity_mf(artifact_dir: str, seeds=(0, 1),
+                      hparams: dict = MF_HPARAMS) -> dict:
+    ref = [train_reference_mf(artifact_dir, seed=s, hparams=hparams)
+           for s in seeds]
+    ours = [train_ours_mf(artifact_dir, seed=s, hparams=hparams)
+            for s in seeds]
+    return {
+        "ref": float(np.mean(ref)), "ours": float(np.mean(ours)),
+        "ref_runs": ref, "ours_runs": ours,
+        "delta": float(np.mean(ours) - np.mean(ref)),
+    }
