@@ -716,7 +716,15 @@ def bench_serve() -> dict:
              ("int8_b256", 256, "int8", "exact"),
              ("approx_b256", 256, None, "approx"),
              ("f32_b1", 1, None, "exact")]
+    budget_s = float(os.environ.get("SIBRAR_SERVE_BENCH_BUDGET_S", "600"))
+    started = time.perf_counter()
     for name, bs, dtype, selection in modes:
+        if time.perf_counter() - started > budget_s:
+            # cold compiles through the remote tunnel cost 1-5 min per
+            # program; never let the serving extras sink the whole bench —
+            # the persistent compilation cache makes the next run warm
+            out["serve_budget_exhausted_after"] = name
+            break
         rec = Recommender(score_fn, ds, dd, k=k, batch_size=bs,
                           dtype=dtype, selection=selection)
         users = rng.integers(0, n_users, bs).astype(np.int32)
@@ -729,6 +737,11 @@ def bench_serve() -> dict:
             lat.append(time.perf_counter() - t0)
         out[f"serve_{name}_p50_ms"] = round(
             float(np.percentile(np.array(lat) * 1e3, 50)), 2)
+    if out:
+        # per-call wall latency through the remote-compile tunnel carries a
+        # ~60 ms constant host<->device sync (absent on attached TPUs);
+        # mode-to-mode deltas are the meaningful comparison here
+        out["serve_note"] = "p50 includes constant tunnel sync (~60ms)"
     return out
 
 
@@ -759,8 +772,10 @@ def _trained_parity_child() -> None:
                                     "tools"))
     from trained_parity import (
         make_artifacts,
+        train_ours_dropoutnet,
         train_ours_mf,
         train_ours_sbnet,
+        train_reference_dropoutnet,
         train_reference_mf,
         train_reference_sbnet,
     )
@@ -771,6 +786,8 @@ def _trained_parity_child() -> None:
         mf_ours = train_ours_mf(out, seed=0)
         sb_ref = train_reference_sbnet(out, seed=0)
         sb_ours = train_ours_sbnet(out, seed=0)
+        dn_ref = train_reference_dropoutnet(out, seed=0)
+        dn_ours = train_ours_dropoutnet(out, seed=0)
         print(json.dumps({
             "trained_parity_mf_ref": round(mf_ref, 4),
             "trained_parity_mf_ours": round(mf_ours, 4),
@@ -778,6 +795,9 @@ def _trained_parity_child() -> None:
             "trained_parity_sbnet_ref": round(sb_ref, 4),
             "trained_parity_sbnet_ours": round(sb_ours, 4),
             "trained_parity_sbnet_delta": round(sb_ours - sb_ref, 4),
+            "trained_parity_dropoutnet_ref": round(dn_ref, 4),
+            "trained_parity_dropoutnet_ours": round(dn_ours, 4),
+            "trained_parity_dropoutnet_delta": round(dn_ours - dn_ref, 4),
         }))
 
 

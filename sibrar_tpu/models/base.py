@@ -130,16 +130,38 @@ def populate_tables(variables: Dict[str, Any], device_data: DeviceData) -> Dict[
     if device_data.item_inter_csr.cols_pad is not None:
         lookup["item__inter_cols_pad"] = device_data.item_inter_csr.cols_pad
 
-    def replace(tree):
+    unmatched: list = []
+
+    def replace(tree, path=""):
         if isinstance(tree, dict):
-            return {
-                k: (lookup[k] if k in lookup and not isinstance(v, dict) else replace(v))
-                for k, v in tree.items()
-            }
+            out = {}
+            for k, v in tree.items():
+                if k in lookup and not isinstance(v, dict):
+                    out[k] = lookup[k]
+                elif isinstance(v, dict):
+                    out[k] = replace(v, f"{path}{k}/")
+                else:
+                    # only the '{entity}__{feature}' naming convention is
+                    # zero-initialized awaiting a splice; other table
+                    # variables (e.g. ECF's tag_matrix) self-initialize
+                    if k.startswith(("user__", "item__")):
+                        unmatched.append(f"{path}{k}")
+                    out[k] = v
+            return out
         return tree
 
     variables = dict(variables)
     variables["tables"] = replace(dict(variables["tables"]))
+    if unmatched:
+        # a declared table leaf no device table matches would silently stay
+        # ZERO — exactly the bug class the r4 trained-parity harness caught
+        # (a synthetic id feature routed through the table machinery read
+        # row 0 for every entity). Fail loudly instead.
+        raise ValueError(
+            "model declares feature table(s) with no matching device table: "
+            f"{sorted(unmatched)} — available: {sorted(lookup)}. Synthetic "
+            "features (entity ids) must embed directly, not via the device "
+            "table collection.")
     return variables
 
 

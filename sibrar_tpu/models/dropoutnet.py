@@ -64,21 +64,34 @@ class DropoutNetEntity(RecModel):
         self.content = [m.clone(name=f"cont_{m.feature_name}")
                         for m in self.cont_modules]
         cont_dim = sum(m.output_dim for m in self.cont_modules)
+        # torch-default init: the reference's DropoutNetEntity never applies
+        # general_weight_init to its pref/common nets (sgd_alg.py:1618-1655);
+        # only its FeatureEmbedding content modules re-init (kaiming). The
+        # r4 trained-parity harness measured the kaiming-everywhere variant
+        # at 0.147 vs the reference's 0.263 ndcg@10 (init 30x hotter,
+        # slower convergence) before this matched.
         self.net = PolyLinear(
             [self.preference_layers[-1] + cont_dim, *self.common_hidden_layers,
              self.shared_common_dim],
-            activation_fn=self.activation_fn, output_fn=self.activation_fn)
+            activation_fn=self.activation_fn, output_fn=self.activation_fn,
+            torch_default_init=True)
 
     def __call__(self, idxs, train: bool = False):
         scale = None
         if train:
-            # randomly zero the preference vector per sample (cold simulation);
-            # Normal vs NoPreference with equal probability, like the
-            # reference's uniform choice over the two strategies. Zeroing the
+            # randomly zero the preference vector (cold simulation): Normal
+            # vs NoPreference with equal probability, sampled PER BATCH ROW
+            # (reference sample_training_strategy draws len(i_idxs) = B
+            # strategies, sgd_alg.py:1681-1727 — all 1+n_neg candidates of
+            # a row share one strategy, which keeps the BPR pos-neg diffs
+            # within one regime; per-instance sampling measured ~-0.03
+            # converged ndcg in the r4 trained-parity harness). Zeroing the
             # input equals scaling the pre-bias sum of the first layer.
             key = self.make_rng("sample")
-            keep = jax.random.bernoulli(key, 0.5, shape=idxs.shape)
-            scale = keep[..., None].astype(jnp.float32)
+            keep = jax.random.bernoulli(key, 0.5, shape=idxs.shape[:1])
+            keep = keep.reshape(idxs.shape[:1] + (1,) * (idxs.ndim - 1))
+            scale = jnp.broadcast_to(keep, idxs.shape)[..., None].astype(
+                jnp.float32)
         pref = self.pref_net(idxs, train=train, scale=scale)
         cont = [m(idxs, train=train) for m in self.content]
         x = jnp.concatenate([*cont, pref], axis=-1)
@@ -121,7 +134,8 @@ class DropoutNet(RecModel):
                 pref_tower=interaction_tower_from(
                     device_data, entity, list(ec.preference_layers),
                     activation_fn=ec.activation_fn,
-                    output_fn=ec.activation_fn),
+                    output_fn=ec.activation_fn,
+                    torch_default_init=True),
                 preference_dim=pref_dim,
                 cont_modules=cont,
                 preference_layers=tuple(ec.preference_layers),

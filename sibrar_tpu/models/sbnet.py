@@ -134,13 +134,17 @@ class SingleBranchNetEntity(RecModel):
         if self.apply_batch_normalization and self.apply_batch_norm_every == 0:
             # legacy mode: batch-norm only after the last layer (reference :1832-1837)
             bn_every = -1
+        # torch-default init: the reference never applies
+        # general_weight_init to the shared branch (sgd_alg.py:1764-2008 has
+        # no self.apply) — only the FeatureEmbedding modality modules re-init
         self.sb_net = PolyLinear(
             [self.common_modality_dim, *self.single_branch_hidden_layers,
              self.output_dim],
             activation_fn=self.activation_fn,
             output_fn=self.activation_fn if self.apply_output_activation else None,
             input_dropout=self.single_branch_input_dropout,
-            apply_batch_norm_every=bn_every)
+            apply_batch_norm_every=bn_every,
+            torch_default_init=True)
 
     # ------------------------------------------------------------------ internals
     def _modality_projection(self, mod, idxs, train: bool):

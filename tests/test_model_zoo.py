@@ -1,6 +1,7 @@
 """End-to-end training smoke + learning tests for the tier-1 SGD model family
 (DMF, CLCRec-style feature MF, DropoutNet, SBNet), the reference's de-facto
 verification strategy (SURVEY.md §4.1) as automated tests."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -312,3 +313,44 @@ def test_sbnet_routed_sampling_config_knob(splits):
     model = SingleBranchNet.build_from_conf(conf, splits["train"], dd)
     assert model.item_module.routed_modality_sampling is False
     _fit(model, splits, epochs=1, device_data=dd)
+
+
+def test_sbnet_plain_id_tower_embeds_distinct_users(splits):
+    """Regression for the r4 trained-parity find: the plain
+    '{entity}_embedding' tower must embed ids DIRECTLY — routed through the
+    device-table machinery it read a zero table and every user collapsed
+    onto embedding row 0."""
+    import jax
+
+    from sibrar_tpu.models.base import init_model
+    from sibrar_tpu.models.sbnet import SingleBranchNet
+
+    dd = splits["train"].to_device()
+    conf = {
+        "shared_common_dim": 8,
+        "user": {"feature_name": "user_embedding", "embedding_dim": 8},
+        "item": {"features": [{"feature_name": "audio"}],
+                 "single_branch_hidden_layers": [8],
+                 "common_modality_dim": 8,
+                 "embedding_regularization_type": "no_regularization"},
+    }
+    model = SingleBranchNet.build_from_conf(conf, splits["train"], dd)
+    variables = init_model(model, jax.random.PRNGKey(0), dd)
+    u = jnp.arange(8, dtype=jnp.int32)
+    reprs = np.asarray(model.apply(variables, u, train=False,
+                                   method=model.user_repr))
+    # distinct users -> distinct embeddings (all-equal rows = the bug)
+    assert np.unique(reprs, axis=0).shape[0] == 8
+
+
+def test_populate_tables_rejects_unmatched_declarations(splits):
+    """A declared table leaf with no device table must fail LOUDLY (it
+    would silently stay zero otherwise)."""
+    import pytest as _pytest
+
+    from sibrar_tpu.models.base import populate_tables
+
+    dd = splits["train"].to_device()
+    variables = {"tables": {"item__nonexistent_feature": jnp.zeros((4, 2))}}
+    with _pytest.raises(ValueError, match="no matching device table"):
+        populate_tables(variables, dd)

@@ -52,3 +52,15 @@ def test_sbnet_trained_quality_matches_reference(artifact_dir):
     # The pre-fix failure mode sat at ours=0.12 — well below this gate.
     assert r["ours"] >= r["ref"] - 0.03, r
     assert r["ref"] > 0.14 and r["ours"] > 0.14, r
+
+
+def test_dropoutnet_trained_quality_matches_reference(artifact_dir):
+    from trained_parity import trained_parity_dropoutnet
+
+    r = trained_parity_dropoutnet(artifact_dir, seeds=(0, 1))
+    # measured r4 (post init + per-row-dropout fixes): ref seeds 0.263/0.220,
+    # ours 0.230/0.248. Two r4 failure modes sat well below this gate:
+    # kaiming-everywhere init (0.147) and per-instance preference dropout
+    # (~0.21 mean).
+    assert r["ours"] >= r["ref"] - 0.03, r
+    assert r["ref"] > 0.15 and r["ours"] > 0.15, r

@@ -319,3 +319,130 @@ def trained_parity_mf(artifact_dir: str, seeds=(0, 1),
         "ref_runs": ref, "ours_runs": ours,
         "delta": float(np.mean(ours) - np.mean(ref)),
     }
+
+
+# --------------------------------------------------------------- dropoutnet
+DN_HPARAMS = dict(epochs=12, lr=1e-3, wd=0.0, n_neg=4, batch_size=64,
+                  loss="bpr", shared_common_dim=16)
+
+
+def _dn_entity_conf_ours(feature):
+    return {"features": [{"feature_name": feature, "embedding_dim": 16}],
+            "preference_layers": [32], "common_hidden_layers": [16]}
+
+
+def train_reference_dropoutnet(artifact_dir: str, seed: int = 0,
+                               hparams: dict = DN_HPARAMS) -> float:
+    """Train the reference DropoutNet (sgd_alg.py:1664-1762) — its
+    preference-dropout sampling strategies execute for real."""
+    from algorithms.sgd_alg import DropoutNet as RefDropoutNet
+    from data.config_classes import (
+        FeatureDefinition,
+        FeatureType,
+        InteractionDatasetConfig,
+        TrainDatasetConfig,
+    )
+    from data.dataset import FullEvalDataset as RefFullEvalDataset
+    from data.dataset import TrainRecDataset as RefTrainRecDataset
+    from data.module_config_classes import (
+        DropoutNetConfig,
+        DropoutNetEntityConfig,
+        FeatureModuleConfig,
+    )
+    from train.rec_losses import RecBayesianPersonalizedRankingLoss
+
+    h = dict(DN_HPARAMS, **hparams)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    ufeat = [FeatureDefinition(name="profile_vec", type=FeatureType.VECTOR)]
+    ifeat = [FeatureDefinition(name="audio", type=FeatureType.VECTOR)]
+    kw = dict(user_feature_definitions=ufeat, item_feature_definitions=ifeat,
+              model_requires_train_interactions=True,
+              model_requires_item_interactions=True)
+    ref_train = RefTrainRecDataset(TrainDatasetConfig(
+        dataset_path=artifact_dir, split_set="train",
+        n_negative_samples=h["n_neg"], **kw))
+    ref_val = RefFullEvalDataset(InteractionDatasetConfig(
+        dataset_path=artifact_dir, split_set="val", **kw))
+    conf = DropoutNetConfig(
+        user=DropoutNetEntityConfig(
+            features=[FeatureModuleConfig(feature_name="profile_vec",
+                                          embedding_dim=16)],
+            preference_layers=[32], common_hidden_layers=[16]),
+        item=DropoutNetEntityConfig(
+            features=[FeatureModuleConfig(feature_name="audio",
+                                          embedding_dim=16)],
+            preference_layers=[32], common_hidden_layers=[16]),
+        shared_common_dim=h["shared_common_dim"], sampling_seed=seed)
+    model = RefDropoutNet(conf, ref_train)
+    loader = torch.utils.data.DataLoader(
+        ref_train, batch_size=h["batch_size"], shuffle=True, num_workers=0)
+    rec_loss = RecBayesianPersonalizedRankingLoss(
+        n_items=ref_train.n_items, train_neg_strategy="uniform",
+        neg_train=h["n_neg"])
+    opt = torch.optim.Adam(model.parameters(), lr=h["lr"],
+                           weight_decay=h["wd"])
+    best = _reference_val_ndcg(model, ref_val)
+    for _epoch in range(h["epochs"]):
+        model.train()
+        for u_idxs, i_idxs, labels in loader:
+            out = model(u_idxs, i_idxs)
+            loss = rec_loss.compute_loss(out, labels)
+            loss = loss + model.get_and_reset_other_loss()["reg_loss"]
+            loss.backward()
+            opt.step()
+            opt.zero_grad()
+        best = max(best, _reference_val_ndcg(model, ref_val))
+    return best
+
+
+def train_ours_dropoutnet(artifact_dir: str, seed: int = 0,
+                          hparams: dict = DN_HPARAMS) -> float:
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        FeatureDefinition,
+        FeatureType,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.dropoutnet import DropoutNet
+    from sibrar_tpu.train.trainer import Trainer
+
+    h = dict(DN_HPARAMS, **hparams)
+    ufeat = [FeatureDefinition("profile_vec", FeatureType.VECTOR)]
+    ifeat = [FeatureDefinition("audio", FeatureType.VECTOR)]
+    tr = RecDataset.load(artifact_dir, "train",
+                         user_feature_definitions=ufeat,
+                         item_feature_definitions=ifeat)
+    va = RecDataset.load(artifact_dir, "val",
+                         user_feature_definitions=ufeat,
+                         item_feature_definitions=ifeat)
+    dd = tr.to_device()
+    conf = {"shared_common_dim": h["shared_common_dim"],
+            "user": _dn_entity_conf_ours("profile_vec"),
+            "item": _dn_entity_conf_ours("audio")}
+    model = DropoutNet.build_from_conf(conf, tr, dd)
+    learn = LearningConfig(
+        n_epochs=h["epochs"], lr=h["lr"], wd=h["wd"], rec_loss=h["loss"],
+        max_patience=h["epochs"] + 1, optimizing_metric="ndcg@10")
+    ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), va,
+                       evaluator_name="val")
+    trainer = Trainer(model, tr, ev, learn,
+                      DatasetConfig(n_negative_samples=h["n_neg"]),
+                      batch_size=h["batch_size"], seed=seed, device_data=dd)
+    return float(trainer.fit()["val/ndcg@10"])
+
+
+def trained_parity_dropoutnet(artifact_dir: str, seeds=(0, 1),
+                              hparams: dict = DN_HPARAMS) -> dict:
+    ref = [train_reference_dropoutnet(artifact_dir, seed=s, hparams=hparams)
+           for s in seeds]
+    ours = [train_ours_dropoutnet(artifact_dir, seed=s, hparams=hparams)
+            for s in seeds]
+    return {
+        "ref": float(np.mean(ref)), "ours": float(np.mean(ours)),
+        "ref_runs": ref, "ours_runs": ours,
+        "delta": float(np.mean(ours) - np.mean(ref)),
+    }
