@@ -772,9 +772,11 @@ def _trained_parity_child() -> None:
                                     "tools"))
     from trained_parity import (
         make_artifacts,
+        train_ours_dmf,
         train_ours_dropoutnet,
         train_ours_mf,
         train_ours_sbnet,
+        train_reference_dmf,
         train_reference_dropoutnet,
         train_reference_mf,
         train_reference_sbnet,
@@ -788,6 +790,8 @@ def _trained_parity_child() -> None:
         sb_ours = train_ours_sbnet(out, seed=0)
         dn_ref = train_reference_dropoutnet(out, seed=0)
         dn_ours = train_ours_dropoutnet(out, seed=0)
+        dmf_ref = train_reference_dmf(out, seed=0)
+        dmf_ours = train_ours_dmf(out, seed=0)
         print(json.dumps({
             "trained_parity_mf_ref": round(mf_ref, 4),
             "trained_parity_mf_ours": round(mf_ours, 4),
@@ -798,6 +802,9 @@ def _trained_parity_child() -> None:
             "trained_parity_dropoutnet_ref": round(dn_ref, 4),
             "trained_parity_dropoutnet_ours": round(dn_ours, 4),
             "trained_parity_dropoutnet_delta": round(dn_ours - dn_ref, 4),
+            "trained_parity_dmf_ref": round(dmf_ref, 4),
+            "trained_parity_dmf_ours": round(dmf_ours, 4),
+            "trained_parity_dmf_delta": round(dmf_ours - dmf_ref, 4),
         }))
 
 

@@ -64,3 +64,13 @@ def test_dropoutnet_trained_quality_matches_reference(artifact_dir):
     # (~0.21 mean).
     assert r["ours"] >= r["ref"] - 0.03, r
     assert r["ref"] > 0.15 and r["ours"] > 0.15, r
+
+
+def test_dmf_trained_quality_matches_reference(artifact_dir):
+    from trained_parity import trained_parity_dmf
+
+    r = trained_parity_dmf(artifact_dir, seeds=(0, 1))
+    # measured r4: ref 0.132, ours 0.133 at seed 0 — matched on first run
+    # (towers + cosine-mu combine already kaiming-initialized both sides)
+    assert r["ours"] >= r["ref"] - 0.03, r
+    assert r["ref"] > 0.08 and r["ours"] > 0.08, r

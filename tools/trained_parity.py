@@ -446,3 +446,98 @@ def trained_parity_dropoutnet(artifact_dir: str, seeds=(0, 1),
         "ref_runs": ref, "ours_runs": ours,
         "delta": float(np.mean(ours) - np.mean(ref)),
     }
+
+
+# ---------------------------------------------------------------------- dmf
+DMF_HPARAMS = dict(epochs=12, lr=1e-3, wd=0.0, n_neg=4, batch_size=64,
+                   loss="bpr", u_mid=(32,), i_mid=(32,), final_dimension=16)
+
+
+def train_reference_dmf(artifact_dir: str, seed: int = 0,
+                        hparams: dict = DMF_HPARAMS) -> float:
+    """Train the reference DeepMatrixFactorization (sgd_alg.py:1146-1263):
+    interaction-vector towers + cosine combine with the mu floor."""
+    from algorithms.sgd_alg import DeepMatrixFactorization as RefDMF
+    from data.config_classes import (
+        InteractionDatasetConfig,
+        TrainDatasetConfig,
+    )
+    from data.dataset import FullEvalDataset as RefFullEvalDataset
+    from data.dataset import TrainRecDataset as RefTrainRecDataset
+    from train.rec_losses import RecBayesianPersonalizedRankingLoss
+
+    h = dict(DMF_HPARAMS, **hparams)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    kw = dict(model_requires_train_interactions=True,
+              model_requires_item_interactions=True)
+    ref_train = RefTrainRecDataset(TrainDatasetConfig(
+        dataset_path=artifact_dir, split_set="train",
+        n_negative_samples=h["n_neg"], **kw))
+    ref_val = RefFullEvalDataset(InteractionDatasetConfig(
+        dataset_path=artifact_dir, split_set="val", **kw))
+    model = RefDMF(ref_train, u_mid_layers=list(h["u_mid"]),
+                   i_mid_layers=list(h["i_mid"]),
+                   final_dimension=h["final_dimension"])
+    loader = torch.utils.data.DataLoader(
+        ref_train, batch_size=h["batch_size"], shuffle=True, num_workers=0)
+    rec_loss = RecBayesianPersonalizedRankingLoss(
+        n_items=ref_train.n_items, train_neg_strategy="uniform",
+        neg_train=h["n_neg"])
+    opt = torch.optim.Adam(model.parameters(), lr=h["lr"],
+                           weight_decay=h["wd"])
+    best = _reference_val_ndcg(model, ref_val)
+    for _epoch in range(h["epochs"]):
+        model.train()
+        for u_idxs, i_idxs, labels in loader:
+            out = model(u_idxs, i_idxs)
+            loss = rec_loss.compute_loss(out, labels)
+            loss = loss + model.get_and_reset_other_loss()["reg_loss"]
+            loss.backward()
+            opt.step()
+            opt.zero_grad()
+        best = max(best, _reference_val_ndcg(model, ref_val))
+    return best
+
+
+def train_ours_dmf(artifact_dir: str, seed: int = 0,
+                   hparams: dict = DMF_HPARAMS) -> float:
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.dmf import DeepMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    h = dict(DMF_HPARAMS, **hparams)
+    tr = RecDataset.load(artifact_dir, "train")
+    va = RecDataset.load(artifact_dir, "val")
+    dd = tr.to_device()
+    model = DeepMatrixFactorization.build_from_conf(
+        {"u_mid_layers": list(h["u_mid"]), "i_mid_layers": list(h["i_mid"]),
+         "final_dimension": h["final_dimension"]}, tr, dd)
+    learn = LearningConfig(
+        n_epochs=h["epochs"], lr=h["lr"], wd=h["wd"], rec_loss=h["loss"],
+        max_patience=h["epochs"] + 1, optimizing_metric="ndcg@10")
+    ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), va,
+                       evaluator_name="val")
+    trainer = Trainer(model, tr, ev, learn,
+                      DatasetConfig(n_negative_samples=h["n_neg"]),
+                      batch_size=h["batch_size"], seed=seed, device_data=dd)
+    return float(trainer.fit()["val/ndcg@10"])
+
+
+def trained_parity_dmf(artifact_dir: str, seeds=(0, 1),
+                       hparams: dict = DMF_HPARAMS) -> dict:
+    ref = [train_reference_dmf(artifact_dir, seed=s, hparams=hparams)
+           for s in seeds]
+    ours = [train_ours_dmf(artifact_dir, seed=s, hparams=hparams)
+            for s in seeds]
+    return {
+        "ref": float(np.mean(ref)), "ours": float(np.mean(ours)),
+        "ref_runs": ref, "ours_runs": ours,
+        "delta": float(np.mean(ours) - np.mean(ref)),
+    }
