@@ -541,3 +541,254 @@ def trained_parity_dmf(artifact_dir: str, seeds=(0, 1),
         "ref_runs": ref, "ours_runs": ours,
         "delta": float(np.mean(ours) - np.mean(ref)),
     }
+
+
+# ------------------------------------------------------- ifeatmf + uprotomf
+IFMF_HPARAMS = dict(epochs=15, lr=2e-3, wd=0.0, n_neg=4, batch_size=64,
+                    loss="bpr", embedding_dim=16, lambda_content=1e-4,
+                    temperature=0.1)
+PROTO_HPARAMS = dict(epochs=15, lr=2e-3, wd=0.0, n_neg=4, batch_size=64,
+                     loss="bpr", embedding_dim=16, n_prototypes=8)
+
+
+def _torch_sgd_train(model, ref_train, ref_val, h) -> float:
+    """Shared torch loop (trainer.py:125-170 protocol)."""
+    from train.rec_losses import RecBayesianPersonalizedRankingLoss
+
+    loader = torch.utils.data.DataLoader(
+        ref_train, batch_size=h["batch_size"], shuffle=True, num_workers=0)
+    rec_loss = RecBayesianPersonalizedRankingLoss(
+        n_items=ref_train.n_items, train_neg_strategy="uniform",
+        neg_train=h["n_neg"])
+    opt = torch.optim.Adam(model.parameters(), lr=h["lr"],
+                           weight_decay=h["wd"])
+    best = _reference_val_ndcg(model, ref_val)
+    for _epoch in range(h["epochs"]):
+        model.train()
+        for u_idxs, i_idxs, labels in loader:
+            out = model(u_idxs, i_idxs)
+            loss = rec_loss.compute_loss(out, labels)
+            loss = loss + model.get_and_reset_other_loss()["reg_loss"]
+            loss.backward()
+            opt.step()
+            opt.zero_grad()
+        best = max(best, _reference_val_ndcg(model, ref_val))
+    return best
+
+
+def train_reference_ifeatmf(artifact_dir: str, seed: int = 0,
+                            hparams: dict = IFMF_HPARAMS) -> float:
+    """Reference ItemFeatureMatrixFactorization (CLCRec InfoNCE content
+    alignment, sgd_alg.py:1405-1511)."""
+    from algorithms.sgd_alg import ItemFeatureMatrixFactorization as RefIFMF
+    from data.config_classes import (
+        FeatureDefinition,
+        FeatureType,
+        InteractionDatasetConfig,
+        TrainDatasetConfig,
+    )
+    from data.dataset import FullEvalDataset as RefFullEvalDataset
+    from data.dataset import TrainRecDataset as RefTrainRecDataset
+
+    h = dict(IFMF_HPARAMS, **hparams)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    feat = [FeatureDefinition(name="audio", type=FeatureType.VECTOR)]
+    ref_train = RefTrainRecDataset(TrainDatasetConfig(
+        dataset_path=artifact_dir, split_set="train",
+        n_negative_samples=h["n_neg"], item_feature_definitions=feat))
+    ref_val = RefFullEvalDataset(InteractionDatasetConfig(
+        dataset_path=artifact_dir, split_set="val",
+        item_feature_definitions=feat))
+    model = RefIFMF(ref_train, feature_name="audio",
+                    embedding_dim=h["embedding_dim"],
+                    lambda_content=h["lambda_content"],
+                    temperature=h["temperature"])
+    return _torch_sgd_train(model, ref_train, ref_val, h)
+
+
+def train_ours_ifeatmf(artifact_dir: str, seed: int = 0,
+                       hparams: dict = IFMF_HPARAMS) -> float:
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        FeatureDefinition,
+        FeatureType,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.feat_mf import ItemFeatureMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    h = dict(IFMF_HPARAMS, **hparams)
+    feat = [FeatureDefinition("audio", FeatureType.VECTOR)]
+    tr = RecDataset.load(artifact_dir, "train",
+                         item_feature_definitions=feat)
+    va = RecDataset.load(artifact_dir, "val", item_feature_definitions=feat)
+    dd = tr.to_device()
+    model = ItemFeatureMatrixFactorization.build_from_conf(
+        {"feature_name": "audio", "embedding_dim": h["embedding_dim"],
+         "lambda_content": h["lambda_content"],
+         "temperature": h["temperature"]}, tr)
+    learn = LearningConfig(
+        n_epochs=h["epochs"], lr=h["lr"], wd=h["wd"], rec_loss=h["loss"],
+        max_patience=h["epochs"] + 1, optimizing_metric="ndcg@10")
+    ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), va,
+                       evaluator_name="val")
+    trainer = Trainer(model, tr, ev, learn,
+                      DatasetConfig(n_negative_samples=h["n_neg"]),
+                      batch_size=h["batch_size"], seed=seed, device_data=dd)
+    return float(trainer.fit()["val/ndcg@10"])
+
+
+def train_reference_uprotomf(artifact_dir: str, seed: int = 0,
+                             hparams: dict = PROTO_HPARAMS) -> float:
+    """Reference UProtoMF (shifted-cosine prototypes + proto/batch
+    regularizers, sgd_alg.py:337-433)."""
+    from algorithms.sgd_alg import UProtoMF as RefUProtoMF
+    from data.config_classes import (
+        InteractionDatasetConfig,
+        TrainDatasetConfig,
+    )
+    from data.dataset import FullEvalDataset as RefFullEvalDataset
+    from data.dataset import TrainRecDataset as RefTrainRecDataset
+
+    h = dict(PROTO_HPARAMS, **hparams)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    ref_train = RefTrainRecDataset(TrainDatasetConfig(
+        dataset_path=artifact_dir, split_set="train",
+        n_negative_samples=h["n_neg"]))
+    ref_val = RefFullEvalDataset(InteractionDatasetConfig(
+        dataset_path=artifact_dir, split_set="val"))
+    model = RefUProtoMF(ref_train.n_users, ref_train.n_items,
+                        embedding_dim=h["embedding_dim"],
+                        n_prototypes=h["n_prototypes"])
+    return _torch_sgd_train(model, ref_train, ref_val, h)
+
+
+def train_ours_uprotomf(artifact_dir: str, seed: int = 0,
+                        hparams: dict = PROTO_HPARAMS) -> float:
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.protomf import UProtoMF
+    from sibrar_tpu.train.trainer import Trainer
+
+    h = dict(PROTO_HPARAMS, **hparams)
+    tr = RecDataset.load(artifact_dir, "train")
+    va = RecDataset.load(artifact_dir, "val")
+    model = UProtoMF(n_users=tr.n_users, n_items=tr.n_items,
+                     embedding_dim=h["embedding_dim"],
+                     n_prototypes=h["n_prototypes"])
+    learn = LearningConfig(
+        n_epochs=h["epochs"], lr=h["lr"], wd=h["wd"], rec_loss=h["loss"],
+        max_patience=h["epochs"] + 1, optimizing_metric="ndcg@10")
+    ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), va,
+                       evaluator_name="val")
+    trainer = Trainer(model, tr, ev, learn,
+                      DatasetConfig(n_negative_samples=h["n_neg"]),
+                      batch_size=h["batch_size"], seed=seed)
+    return float(trainer.fit()["val/ndcg@10"])
+
+
+# ---------------------------------------------------------------------- ecf
+ECF_HPARAMS = dict(epochs=15, lr=2e-3, wd=0.0, n_neg=4, batch_size=64,
+                   loss="bpr", embedding_dim=16, n_clusters=8, top_n=4,
+                   top_m=4, top_p=2)
+
+
+def train_reference_ecf(artifact_dir: str, seed: int = 0,
+                        hparams: dict = ECF_HPARAMS) -> float:
+    """Reference ECF (sgd_alg.py:896-1113): straight-through top-k cluster
+    masks + tag/independence/BPR-aux losses. The weighted tag matrix is
+    built exactly as ECFTrainRecDataset._prepare_tag_data (dataset.py:
+    469-483) from the artifacts' genres TAG feature."""
+    import scipy.sparse as sp
+
+    from algorithms.sgd_alg import ECF as RefECF
+    from data.config_classes import (
+        FeatureDefinition,
+        FeatureType,
+        InteractionDatasetConfig,
+        TrainDatasetConfig,
+    )
+    from data.dataset import FullEvalDataset as RefFullEvalDataset
+    from data.dataset import TrainRecDataset as RefTrainRecDataset
+
+    h = dict(ECF_HPARAMS, **hparams)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    feat = [FeatureDefinition(name="genres", type=FeatureType.TAG,
+                          tag_split_sep="|")]
+    ref_train = RefTrainRecDataset(TrainDatasetConfig(
+        dataset_path=artifact_dir, split_set="train",
+        n_negative_samples=h["n_neg"], item_feature_definitions=feat))
+    ref_val = RefFullEvalDataset(InteractionDatasetConfig(
+        dataset_path=artifact_dir, split_set="val"))
+    genres = ref_train.item_features["genres"]
+    table = np.asarray(genres.values)  # padded tag codes
+    n_tags = len(genres.unique_values)
+    pad = n_tags  # create_padded_array pads with len(unique_values)
+    rows = np.repeat(np.arange(ref_train.n_items), table.shape[1])
+    cols = table.ravel()
+    valid = cols != pad
+    tag_mtx = sp.csr_matrix(
+        (np.ones(valid.sum(), dtype=np.int16),
+         (rows[valid], cols[valid])),
+        shape=(ref_train.n_items, n_tags))
+    tag_frequency = np.array(tag_mtx.sum(axis=0)).flatten()
+    tag_weight = np.log(ref_train.n_items / (tag_frequency + 1e-6))
+    tag_mtx = tag_mtx @ sp.diags(tag_weight)
+    # the reference uses the scipy `.A` dense attribute (removed in the
+    # in-image scipy>=1.14); feed shim objects exposing exactly that
+    from types import SimpleNamespace
+
+    tag_arg = SimpleNamespace(A=tag_mtx.toarray())
+    inter_arg = SimpleNamespace(A=ref_train.user_sampling_matrix.toarray())
+    model = RefECF(ref_train.n_users, ref_train.n_items, tag_arg,
+                   inter_arg,
+                   embedding_dim=h["embedding_dim"],
+                   n_clusters=h["n_clusters"], top_n=h["top_n"],
+                   top_m=h["top_m"], top_p=h["top_p"])
+    return _torch_sgd_train(model, ref_train, ref_val, h)
+
+
+def train_ours_ecf(artifact_dir: str, seed: int = 0,
+                   hparams: dict = ECF_HPARAMS) -> float:
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        FeatureDefinition,
+        FeatureType,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.ecf import ECF as OurECF
+    from sibrar_tpu.train.trainer import Trainer
+
+    h = dict(ECF_HPARAMS, **hparams)
+    feat = [FeatureDefinition("genres", FeatureType.TAG)]
+    tr = RecDataset.load(artifact_dir, "train",
+                         item_feature_definitions=feat)
+    va = RecDataset.load(artifact_dir, "val")
+    dd = tr.to_device()
+    model = OurECF.build_from_conf(
+        {"embedding_dim": h["embedding_dim"], "n_clusters": h["n_clusters"],
+         "top_n": h["top_n"], "top_m": h["top_m"], "top_p": h["top_p"],
+         "tag_feature": "genres"}, tr, dd)
+    learn = LearningConfig(
+        n_epochs=h["epochs"], lr=h["lr"], wd=h["wd"], rec_loss=h["loss"],
+        max_patience=h["epochs"] + 1, optimizing_metric="ndcg@10")
+    ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), va,
+                       evaluator_name="val")
+    trainer = Trainer(model, tr, ev, learn,
+                      DatasetConfig(n_negative_samples=h["n_neg"]),
+                      batch_size=h["batch_size"], seed=seed, device_data=dd)
+    return float(trainer.fit()["val/ndcg@10"])
