@@ -108,3 +108,28 @@ def test_ecf_trained_quality_matches_reference(artifact_dir):
     ours = train_ours_ecf(artifact_dir, seed=0)
     assert ours >= ref - 0.03, (ref, ours)
     assert ref > 0.05 and ours > 0.05, (ref, ours)
+
+
+def test_sbnet_cold_item_trained_quality_matches_reference(tmp_path_factory):
+    """The paper's HEADLINE scenario: cold-start items. Both frameworks
+    train SBNet on a cold_start_item split (val items unseen in training);
+    at eval the item entity drops the 'interactions' modality and ranks the
+    cold items from content (audio) alone — validating the cold-start
+    modality rules end-to-end, not just via transplant."""
+    from sibrar_tpu.config.schema import DatasetSplitType
+    from trained_parity import (
+        make_artifacts,
+        train_ours_sbnet,
+        train_reference_sbnet,
+    )
+
+    d = str(tmp_path_factory.mktemp("cold_parity"))
+    make_artifacts(d, split_type=DatasetSplitType.COLD_START_ITEM)
+    ref = [train_reference_sbnet(d, seed=s) for s in (0, 1)]
+    ours = [train_ours_sbnet(d, seed=s) for s in (0, 1)]
+    import numpy as _np
+
+    ref_m, ours_m = float(_np.mean(ref)), float(_np.mean(ours))
+    assert ours_m >= ref_m - 0.04, (ref, ours)
+    # content-only cold ranking must be far above random (~1/18 split items)
+    assert ref_m > 0.08 and ours_m > 0.08, (ref, ours)

@@ -37,15 +37,17 @@ MF_HPARAMS = dict(embedding_dim=16, epochs=25, lr=5e-3, wd=0.0, n_neg=4,
 
 
 def make_artifacts(out_dir: str, n_users: int = 100, n_items: int = 120,
-                   n_interactions: int = 3000, seed: int = 3) -> str:
+                   n_interactions: int = 3000, seed: int = 3,
+                   split_type=None) -> str:
     from sibrar_tpu.data.synthetic import (
         make_synthetic_splits,
         write_reference_artifacts,
     )
 
+    kw = {} if split_type is None else {"split_type": split_type}
     splits = make_synthetic_splits(
         n_users=n_users, n_items=n_items, n_interactions=n_interactions,
-        seed=seed)
+        seed=seed, **kw)
     write_reference_artifacts(out_dir, splits)
     return out_dir
 
