@@ -133,3 +133,14 @@ def test_sbnet_cold_item_trained_quality_matches_reference(tmp_path_factory):
     assert ours_m >= ref_m - 0.04, (ref, ours)
     # content-only cold ranking must be far above random (~1/18 split items)
     assert ref_m > 0.08 and ours_m > 0.08, (ref, ours)
+
+
+def test_ufeatmf_trained_quality_matches_reference(artifact_dir):
+    """User-side CLCRec contrastive alignment (single seed — measured r4:
+    ref 0.178, ours 0.182)."""
+    from trained_parity import train_ours_ufeatmf, train_reference_ufeatmf
+
+    ref = train_reference_ufeatmf(artifact_dir, seed=0)
+    ours = train_ours_ufeatmf(artifact_dir, seed=0)
+    assert ours >= ref - 0.04, (ref, ours)
+    assert ref > 0.1 and ours > 0.1, (ref, ours)

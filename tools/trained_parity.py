@@ -794,3 +794,68 @@ def train_ours_ecf(artifact_dir: str, seed: int = 0,
                       DatasetConfig(n_negative_samples=h["n_neg"]),
                       batch_size=h["batch_size"], seed=seed, device_data=dd)
     return float(trainer.fit()["val/ndcg@10"])
+
+
+def train_reference_ufeatmf(artifact_dir: str, seed: int = 0,
+                            hparams: dict = IFMF_HPARAMS) -> float:
+    """Reference UserFeatureMatrixFactorization (sgd_alg.py:1508-1611):
+    the user-side CLCRec contrastive alignment."""
+    from algorithms.sgd_alg import UserFeatureMatrixFactorization as RefUFMF
+    from data.config_classes import (
+        FeatureDefinition,
+        FeatureType,
+        InteractionDatasetConfig,
+        TrainDatasetConfig,
+    )
+    from data.dataset import FullEvalDataset as RefFullEvalDataset
+    from data.dataset import TrainRecDataset as RefTrainRecDataset
+
+    h = dict(IFMF_HPARAMS, **hparams)
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    feat = [FeatureDefinition(name="profile_vec", type=FeatureType.VECTOR)]
+    ref_train = RefTrainRecDataset(TrainDatasetConfig(
+        dataset_path=artifact_dir, split_set="train",
+        n_negative_samples=h["n_neg"], user_feature_definitions=feat))
+    ref_val = RefFullEvalDataset(InteractionDatasetConfig(
+        dataset_path=artifact_dir, split_set="val",
+        user_feature_definitions=feat))
+    model = RefUFMF(ref_train, feature_name="profile_vec",
+                    embedding_dim=h["embedding_dim"],
+                    lambda_content=h["lambda_content"],
+                    temperature=h["temperature"])
+    return _torch_sgd_train(model, ref_train, ref_val, h)
+
+
+def train_ours_ufeatmf(artifact_dir: str, seed: int = 0,
+                       hparams: dict = IFMF_HPARAMS) -> float:
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        FeatureDefinition,
+        FeatureType,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.feat_mf import UserFeatureMatrixFactorization
+    from sibrar_tpu.train.trainer import Trainer
+
+    h = dict(IFMF_HPARAMS, **hparams)
+    feat = [FeatureDefinition("profile_vec", FeatureType.VECTOR)]
+    tr = RecDataset.load(artifact_dir, "train",
+                         user_feature_definitions=feat)
+    va = RecDataset.load(artifact_dir, "val", user_feature_definitions=feat)
+    model = UserFeatureMatrixFactorization.build_from_conf(
+        {"feature_name": "profile_vec", "embedding_dim": h["embedding_dim"],
+         "lambda_content": h["lambda_content"],
+         "temperature": h["temperature"]}, tr)
+    learn = LearningConfig(
+        n_epochs=h["epochs"], lr=h["lr"], wd=h["wd"], rec_loss=h["loss"],
+        max_patience=h["epochs"] + 1, optimizing_metric="ndcg@10")
+    ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), va,
+                       evaluator_name="val")
+    trainer = Trainer(model, tr, ev, learn,
+                      DatasetConfig(n_negative_samples=h["n_neg"]),
+                      batch_size=h["batch_size"], seed=seed)
+    return float(trainer.fit()["val/ndcg@10"])
