@@ -859,3 +859,95 @@ def train_ours_ufeatmf(artifact_dir: str, seed: int = 0,
                       DatasetConfig(n_negative_samples=h["n_neg"]),
                       batch_size=h["batch_size"], seed=seed)
     return float(trainer.fit()["val/ndcg@10"])
+
+
+def train_reference_sbnet_huge(artifact_dir: str, seed: int = 0) -> float:
+    """The huge-family architecture cell: deeper shared branch, batch-norm
+    every 2 layers, output activation, input normalization (reference
+    sbnet_*_huge_conf.yml settings)."""
+    from algorithms.sgd_alg import SingleBranchNet as RefSBNet
+    from data.config_classes import (
+        FeatureDefinition,
+        FeatureType,
+        InteractionDatasetConfig,
+        TrainDatasetConfig,
+    )
+    from data.dataset import FullEvalDataset as RefFullEvalDataset
+    from data.dataset import TrainRecDataset as RefTrainRecDataset
+    from data.module_config_classes import (
+        EmbeddingRegularizationType,
+        FeatureModuleConfig,
+        SingleBranchFeatureConfig,
+        SingleBranchNetConfig,
+        SingleBranchNetEntityConfig,
+    )
+
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    feat_defs = [FeatureDefinition(name="audio", type=FeatureType.VECTOR)]
+    kw = dict(item_feature_definitions=feat_defs,
+              model_requires_train_interactions=True,
+              model_requires_item_interactions=True)
+    ref_train = RefTrainRecDataset(TrainDatasetConfig(
+        dataset_path=artifact_dir, split_set="train", n_negative_samples=4,
+        **kw))
+    ref_val = RefFullEvalDataset(InteractionDatasetConfig(
+        dataset_path=artifact_dir, split_set="val", **kw))
+    icfg = SingleBranchNetEntityConfig(
+        features=[SingleBranchFeatureConfig(feature_name=f,
+                                            feature_hidden_layers=[16])
+                  for f in _SBNET_ITEM_FEATURES],
+        single_branch_hidden_layers=[64, 64, 32],
+        preference_hidden_layers=[32], common_modality_dim=16,
+        embedding_regularization_type=(
+            EmbeddingRegularizationType.PairwiseSingle),
+        regularization_weight=0.1, apply_batch_norm_every=2,
+        apply_output_activation=True, normalize_single_branch_input=True,
+        sampling_seed=seed)
+    conf = SingleBranchNetConfig(
+        user=FeatureModuleConfig(feature_name="user_embedding",
+                                 embedding_dim=16),
+        item=icfg, shared_common_dim=16)
+    model = RefSBNet(conf, ref_train)
+    return _torch_sgd_train(model, ref_train, ref_val, dict(SBNET_HPARAMS))
+
+
+def train_ours_sbnet_huge(artifact_dir: str, seed: int = 0) -> float:
+    h = dict(SBNET_HPARAMS, hidden=(64, 64, 32))
+    conf = _our_sbnet_conf(h)
+    conf["item"].update({"apply_batch_norm_every": 2,
+                         "apply_output_activation": True,
+                         "normalize_single_branch_input": True})
+    return _train_ours_sbnet_conf(artifact_dir, conf, h, seed)
+
+
+def _train_ours_sbnet_conf(artifact_dir: str, conf: dict, h: dict,
+                           seed: int) -> float:
+    from sibrar_tpu.config.schema import (
+        DatasetConfig,
+        EvalConfig,
+        FeatureDefinition,
+        FeatureType,
+        LearningConfig,
+    )
+    from sibrar_tpu.data.dataset import RecDataset
+    from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.models.sbnet import SingleBranchNet
+    from sibrar_tpu.train.trainer import Trainer
+
+    feat_defs = [FeatureDefinition("audio", FeatureType.VECTOR)]
+    tr = RecDataset.load(artifact_dir, "train",
+                         item_feature_definitions=feat_defs)
+    va = RecDataset.load(artifact_dir, "val",
+                         item_feature_definitions=feat_defs)
+    dd = tr.to_device()
+    model = SingleBranchNet.build_from_conf(conf, tr, dd)
+    learn = LearningConfig(
+        n_epochs=h["epochs"], lr=h["lr"], wd=h["wd"], rec_loss=h["loss"],
+        max_patience=h["epochs"] + 1, optimizing_metric="ndcg@10")
+    ev = FullEvaluator(EvalConfig(top_k=[10], metrics=["ndcg"]), va,
+                       evaluator_name="val")
+    trainer = Trainer(model, tr, ev, learn,
+                      DatasetConfig(n_negative_samples=h["n_neg"]),
+                      batch_size=h["batch_size"], seed=seed, device_data=dd)
+    return float(trainer.fit()["val/ndcg@10"])
