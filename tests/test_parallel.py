@@ -627,3 +627,29 @@ def test_sharded_peel_redo_restores_exactness():
     got = evaluate_model(fast_fn, ev, batch_size=16)
     for key, v in ref.items():
         np.testing.assert_allclose(got[key], v, atol=1e-6, err_msg=key)
+
+
+def test_hierarchical_merge_fuzz_group_shapes():
+    """Hierarchical merge across group shapes (2x4, 4x2) and k spanning
+    shard boundaries — bitwise equal to the flat merge every time."""
+    from sibrar_tpu.parallel.mesh import sharded_masked_topk
+
+    mesh = make_mesh(8, item_parallelism=8)
+    rng = np.random.default_rng(23)
+    for groups, k, c in [(((0, 1, 2, 3), (4, 5, 6, 7)), 20, 512),
+                         (((0, 1), (2, 3), (4, 5), (6, 7)), 9, 768),
+                         (((0, 1, 2, 3), (4, 5, 6, 7)), 130, 1024)]:
+        b, e = 8, 5
+        scores = jnp.asarray(rng.normal(size=(b, c)).astype(np.float32))
+        cols = jnp.asarray(rng.integers(0, c, (b, e)).astype(np.int32))
+        mask = jnp.asarray(rng.random((b, e)) < 0.8)
+        vf, if_, okf = sharded_masked_topk(
+            scores, cols, mask, k, mesh, return_ok=True, item_groups=None,
+            use_peel=False)
+        vh, ih, okh = sharded_masked_topk(
+            scores, cols, mask, k, mesh, return_ok=True, item_groups=groups,
+            use_peel=False)
+        np.testing.assert_array_equal(np.asarray(vf), np.asarray(vh),
+                                      err_msg=str((groups, k, c)))
+        np.testing.assert_array_equal(np.asarray(if_), np.asarray(ih),
+                                      err_msg=str((groups, k, c)))
