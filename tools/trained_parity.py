@@ -951,3 +951,62 @@ def _train_ours_sbnet_conf(artifact_dir: str, conf: dict, h: dict,
                       DatasetConfig(n_negative_samples=h["n_neg"]),
                       batch_size=h["batch_size"], seed=seed, device_data=dd)
     return float(trainer.fit()["val/ndcg@10"])
+
+
+def train_reference_sbnet_missing_modality(artifact_dir: str,
+                                           seed: int = 0) -> float:
+    """Missing-modality scenario: train on {interactions, audio}, evaluate
+    with eval_modalities=['audio'] only (reference SingleBranchNetEntity
+    _get_modalities, sgd_alg.py:1879-1900)."""
+    from algorithms.sgd_alg import SingleBranchNet as RefSBNet
+    from data.config_classes import (
+        FeatureDefinition,
+        FeatureType,
+        InteractionDatasetConfig,
+        TrainDatasetConfig,
+    )
+    from data.dataset import FullEvalDataset as RefFullEvalDataset
+    from data.dataset import TrainRecDataset as RefTrainRecDataset
+    from data.module_config_classes import (
+        EmbeddingRegularizationType,
+        FeatureModuleConfig,
+        SingleBranchFeatureConfig,
+        SingleBranchNetConfig,
+        SingleBranchNetEntityConfig,
+    )
+
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    feat_defs = [FeatureDefinition(name="audio", type=FeatureType.VECTOR)]
+    kw = dict(item_feature_definitions=feat_defs,
+              model_requires_train_interactions=True,
+              model_requires_item_interactions=True)
+    ref_train = RefTrainRecDataset(TrainDatasetConfig(
+        dataset_path=artifact_dir, split_set="train", n_negative_samples=4,
+        **kw))
+    ref_val = RefFullEvalDataset(InteractionDatasetConfig(
+        dataset_path=artifact_dir, split_set="val", **kw))
+    icfg = SingleBranchNetEntityConfig(
+        features=[SingleBranchFeatureConfig(feature_name=f,
+                                            feature_hidden_layers=[16])
+                  for f in _SBNET_ITEM_FEATURES],
+        single_branch_hidden_layers=[32], preference_hidden_layers=[32],
+        common_modality_dim=16,
+        embedding_regularization_type=(
+            EmbeddingRegularizationType.PairwiseSingle),
+        regularization_weight=0.1,
+        eval_modalities={"audio"}, sampling_seed=seed)
+    conf = SingleBranchNetConfig(
+        user=FeatureModuleConfig(feature_name="user_embedding",
+                                 embedding_dim=16),
+        item=icfg, shared_common_dim=16)
+    model = RefSBNet(conf, ref_train)
+    return _torch_sgd_train(model, ref_train, ref_val, dict(SBNET_HPARAMS))
+
+
+def train_ours_sbnet_missing_modality(artifact_dir: str,
+                                      seed: int = 0) -> float:
+    h = dict(SBNET_HPARAMS)
+    conf = _our_sbnet_conf(h)
+    conf["item"]["eval_modalities"] = ["audio"]
+    return _train_ours_sbnet_conf(artifact_dir, conf, h, seed)
