@@ -107,27 +107,7 @@ def train_reference_mf(artifact_dir: str, seed: int = 0,
         dataset_path=artifact_dir, split_set="val"))
     model = RefMF(ref_train.n_users, ref_train.n_items,
                   embedding_dim=h["embedding_dim"])
-    loader = torch.utils.data.DataLoader(
-        ref_train, batch_size=h["batch_size"], shuffle=True, num_workers=0)
-    loss_cls = {"bpr": RecBayesianPersonalizedRankingLoss,
-                "bce": RecBinaryCrossEntropy}[h["loss"]]
-    rec_loss = loss_cls(n_items=ref_train.n_items,
-                        train_neg_strategy="uniform", neg_train=h["n_neg"])
-    opt = torch.optim.Adam(model.parameters(), lr=h["lr"],
-                           weight_decay=h["wd"])
-
-    best = _reference_val_ndcg(model, ref_val)
-    for _epoch in range(h["epochs"]):
-        model.train()
-        for u_idxs, i_idxs, labels in loader:
-            out = model(u_idxs, i_idxs)
-            loss = rec_loss.compute_loss(out, labels)
-            loss = loss + model.get_and_reset_other_loss()["reg_loss"]
-            loss.backward()
-            opt.step()
-            opt.zero_grad()
-        best = max(best, _reference_val_ndcg(model, ref_val))
-    return best
+    return _torch_sgd_train(model, ref_train, ref_val, h)
 
 
 # ------------------------------------------------------------------ our side
@@ -377,25 +357,7 @@ def train_reference_dropoutnet(artifact_dir: str, seed: int = 0,
             preference_layers=[32], common_hidden_layers=[16]),
         shared_common_dim=h["shared_common_dim"], sampling_seed=seed)
     model = RefDropoutNet(conf, ref_train)
-    loader = torch.utils.data.DataLoader(
-        ref_train, batch_size=h["batch_size"], shuffle=True, num_workers=0)
-    rec_loss = RecBayesianPersonalizedRankingLoss(
-        n_items=ref_train.n_items, train_neg_strategy="uniform",
-        neg_train=h["n_neg"])
-    opt = torch.optim.Adam(model.parameters(), lr=h["lr"],
-                           weight_decay=h["wd"])
-    best = _reference_val_ndcg(model, ref_val)
-    for _epoch in range(h["epochs"]):
-        model.train()
-        for u_idxs, i_idxs, labels in loader:
-            out = model(u_idxs, i_idxs)
-            loss = rec_loss.compute_loss(out, labels)
-            loss = loss + model.get_and_reset_other_loss()["reg_loss"]
-            loss.backward()
-            opt.step()
-            opt.zero_grad()
-        best = max(best, _reference_val_ndcg(model, ref_val))
-    return best
+    return _torch_sgd_train(model, ref_train, ref_val, h)
 
 
 def train_ours_dropoutnet(artifact_dir: str, seed: int = 0,
@@ -481,25 +443,7 @@ def train_reference_dmf(artifact_dir: str, seed: int = 0,
     model = RefDMF(ref_train, u_mid_layers=list(h["u_mid"]),
                    i_mid_layers=list(h["i_mid"]),
                    final_dimension=h["final_dimension"])
-    loader = torch.utils.data.DataLoader(
-        ref_train, batch_size=h["batch_size"], shuffle=True, num_workers=0)
-    rec_loss = RecBayesianPersonalizedRankingLoss(
-        n_items=ref_train.n_items, train_neg_strategy="uniform",
-        neg_train=h["n_neg"])
-    opt = torch.optim.Adam(model.parameters(), lr=h["lr"],
-                           weight_decay=h["wd"])
-    best = _reference_val_ndcg(model, ref_val)
-    for _epoch in range(h["epochs"]):
-        model.train()
-        for u_idxs, i_idxs, labels in loader:
-            out = model(u_idxs, i_idxs)
-            loss = rec_loss.compute_loss(out, labels)
-            loss = loss + model.get_and_reset_other_loss()["reg_loss"]
-            loss.backward()
-            opt.step()
-            opt.zero_grad()
-        best = max(best, _reference_val_ndcg(model, ref_val))
-    return best
+    return _torch_sgd_train(model, ref_train, ref_val, h)
 
 
 def train_ours_dmf(artifact_dir: str, seed: int = 0,
@@ -555,13 +499,17 @@ PROTO_HPARAMS = dict(epochs=15, lr=2e-3, wd=0.0, n_neg=4, batch_size=64,
 
 def _torch_sgd_train(model, ref_train, ref_val, h) -> float:
     """Shared torch loop (trainer.py:125-170 protocol)."""
-    from train.rec_losses import RecBayesianPersonalizedRankingLoss
+    from train.rec_losses import (
+        RecBayesianPersonalizedRankingLoss,
+        RecBinaryCrossEntropy,
+    )
 
     loader = torch.utils.data.DataLoader(
         ref_train, batch_size=h["batch_size"], shuffle=True, num_workers=0)
-    rec_loss = RecBayesianPersonalizedRankingLoss(
-        n_items=ref_train.n_items, train_neg_strategy="uniform",
-        neg_train=h["n_neg"])
+    loss_cls = {"bpr": RecBayesianPersonalizedRankingLoss,
+                "bce": RecBinaryCrossEntropy}[h.get("loss", "bpr")]
+    rec_loss = loss_cls(n_items=ref_train.n_items,
+                        train_neg_strategy="uniform", neg_train=h["n_neg"])
     opt = torch.optim.Adam(model.parameters(), lr=h["lr"],
                            weight_decay=h["wd"])
     best = _reference_val_ndcg(model, ref_val)
