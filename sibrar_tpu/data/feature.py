@@ -21,6 +21,11 @@ import numpy as np
 
 from sibrar_tpu.config.schema import FeatureDefinition, FeatureType
 
+# host-side budget for dense_table() TAG/CATEGORICAL densification, mirroring
+# the 2 GB device densify gate in models/layers.py — a 100k x 50k multi-hot
+# would silently try to allocate 20 GB otherwise
+DENSE_TABLE_MAX_BYTES = 2 * 2**30
+
 
 def create_padded_array(lists: Sequence[Sequence[int]], padding_idx: int,
                         width: Optional[int] = None) -> np.ndarray:
@@ -112,6 +117,17 @@ class Feature:
         float32; 1-D numerics become a column; MATRIX flattens per entity.
         """
         t = self.type
+        if t in (FeatureType.TAG, FeatureType.CATEGORICAL):
+            n_vals = len(self.unique_values)
+            dense_bytes = 4 * self.n_entities * n_vals
+            if dense_bytes > DENSE_TABLE_MAX_BYTES:
+                raise ValueError(
+                    f"dense_table of {self.name!r} would materialize "
+                    f"{self.n_entities}x{n_vals} float32 "
+                    f"({dense_bytes / 2**30:.1f} GiB > "
+                    f"{DENSE_TABLE_MAX_BYTES / 2**30:.1f} GiB budget); "
+                    "use value_indices_groups / a sparse representation "
+                    "for this feature instead")
         if t == FeatureType.TAG and not self.multi_hot:
             n_tags = len(self.unique_values)
             out = np.zeros((self.n_entities, n_tags), dtype=np.float32)

@@ -130,7 +130,11 @@ def prototype_top_items(item_weights: np.ndarray, proto_idx: int,
     order = np.argsort(w if invert else -w)[:top_k]
     out = {"item_idx": order.tolist(), "weight": w[order].tolist()}
     if item_info is not None:
-        sub = item_info.set_index("item_idx").loc[order]
+        # reindex (not .loc) so missing item_idx rows fill NaN instead of
+        # raising, and dedup first so repeated ids can't expand the selection
+        # and misalign the joined columns with the k-length lists
+        sub = (item_info.drop_duplicates("item_idx")
+               .set_index("item_idx").reindex(order))
         for col in sub.columns:
             out[str(col)] = sub[col].tolist()
     return out
@@ -157,8 +161,10 @@ def prototype_top_items_report(item_weights: np.ndarray, top_k: int = 10,
         import csv
 
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        fieldnames = (list(rows[0].keys()) if rows
+                      else ["prototype", "rank", "item_idx", "weight"])
         with open(out_path, "w", newline="") as fh:
-            writer = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+            writer = csv.DictWriter(fh, fieldnames=fieldnames)
             writer.writeheader()
             writer.writerows(rows)
     return rows

@@ -207,7 +207,13 @@ def hierarchical_item_groups(mesh: Mesh):
         return None
     col_axis = mesh.axis_names.index(ITEM_AXIS)
     devs = np.moveaxis(mesh.devices, col_axis, -1).reshape(-1, n_items)
-    procs = [getattr(d, "process_index", 0) for d in devs[0]]
+    proc_rows = [[getattr(d, "process_index", 0) for d in row] for row in devs]
+    # the grouping is derived from one row, so require every data-axis row to
+    # map item positions to processes identically — otherwise the ICI/DCN
+    # traffic claim would not hold on some rows; fall back to the flat merge
+    if any(row != proc_rows[0] for row in proc_rows[1:]):
+        return None
+    procs = proc_rows[0]
     groups, cur = [], [0]
     for j in range(1, n_items):
         if procs[j] == procs[j - 1]:

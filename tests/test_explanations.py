@@ -1,4 +1,6 @@
 """Explanation-hook tests for the ProtoMF family."""
+import os
+
 import numpy as np
 import pytest
 
@@ -120,3 +122,43 @@ def test_protomf_post_val_emits_item_report(tmp_path):
     import os
 
     assert os.path.exists(out["item_proto_top_items"])
+
+
+def test_prototype_top_items_report_empty_and_zero_k(tmp_path):
+    """ADVICE r4: zero prototypes or top_k=0 must still write a header-only
+    CSV, not IndexError on rows[0]."""
+    import csv
+
+    from sibrar_tpu.eval.explanations import prototype_top_items_report
+
+    out = str(tmp_path / "empty.csv")
+    rows = prototype_top_items_report(np.zeros((5, 0), np.float32),
+                                      top_k=10, out_path=out)
+    assert rows == []
+    with open(out) as fh:
+        parsed = list(csv.DictReader(fh))
+    assert parsed == []
+
+    out2 = str(tmp_path / "zerok.csv")
+    rows2 = prototype_top_items_report(np.zeros((5, 2), np.float32),
+                                       top_k=0, out_path=out2)
+    assert rows2 == []
+    assert os.path.exists(out2)
+
+
+def test_prototype_top_items_missing_and_duplicate_info():
+    """ADVICE r4: item_info join must tolerate missing item_idx rows (NaN
+    fill) and deduplicate repeated ids so columns stay k-aligned."""
+    import pandas as pd
+
+    from sibrar_tpu.eval.explanations import prototype_top_items
+
+    w = np.array([[0.1], [0.8], [0.5], [0.3]], dtype=np.float32)
+    # id 1 duplicated, id 2 missing entirely
+    info = pd.DataFrame({"item_idx": [0, 1, 1, 3],
+                         "title": ["a", "b", "b2", "d"]})
+    top = prototype_top_items(w, proto_idx=0, top_k=3, item_info=info)
+    assert top["item_idx"] == [1, 2, 3]
+    assert len(top["title"]) == 3
+    assert top["title"][0] == "b" and top["title"][2] == "d"
+    assert top["title"][1] != top["title"][1]  # NaN for the missing id

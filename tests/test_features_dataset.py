@@ -160,3 +160,20 @@ def test_numeric_dense_table_column():
     dt = f.dense_table()
     assert dt.shape == (3, 1)
     np.testing.assert_allclose(dt[:, 0], [1.0, 2.0, 3.0])
+
+
+def test_dense_table_byte_budget(monkeypatch):
+    """ADVICE r4: oversized TAG/CATEGORICAL densifications raise a clear
+    error instead of host-OOMing the ifknn fit path."""
+    import pytest
+
+    import sibrar_tpu.data.feature as feature_mod
+    from sibrar_tpu.config.schema import FeatureDefinition, FeatureType
+    from sibrar_tpu.data.feature import Feature
+
+    f = Feature.build(FeatureDefinition("genres", FeatureType.TAG),
+                      ["a|b", "b|c", "c"], 3)
+    assert f.dense_table().shape == (3, 3)
+    monkeypatch.setattr(feature_mod, "DENSE_TABLE_MAX_BYTES", 8)
+    with pytest.raises(ValueError, match="budget"):
+        f.dense_table()

@@ -653,3 +653,26 @@ def test_hierarchical_merge_fuzz_group_shapes():
                                       err_msg=str((groups, k, c)))
         np.testing.assert_array_equal(np.asarray(if_), np.asarray(ih),
                                       err_msg=str((groups, k, c)))
+
+
+def test_hierarchical_groups_reject_mismatched_rows():
+    """ADVICE r4: grouping is inferred from the first data-axis row; if any
+    other row maps item positions to processes differently the function must
+    fall back to the flat merge (None), not ship a DCN-suboptimal grouping
+    claimed as optimal."""
+    from types import SimpleNamespace
+
+    from sibrar_tpu.parallel.mesh import hierarchical_item_groups
+
+    def fake_mesh(proc_rows):
+        devs = np.array(
+            [[SimpleNamespace(process_index=p) for p in row]
+             for row in proc_rows], dtype=object)
+        return SimpleNamespace(
+            shape={"data": devs.shape[0], "item": devs.shape[1]},
+            axis_names=("data", "item"), devices=devs)
+
+    uniform = fake_mesh([[0, 0, 1, 1], [0, 0, 1, 1]])
+    assert hierarchical_item_groups(uniform) == ((0, 1), (2, 3))
+    mismatched = fake_mesh([[0, 0, 1, 1], [0, 1, 0, 1]])
+    assert hierarchical_item_groups(mismatched) is None
