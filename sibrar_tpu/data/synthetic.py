@@ -27,16 +27,27 @@ def make_synthetic_splits(
     with_features: bool = True,
     feature_dim: int = 12,
     latent_dim: int = 6,
+    popularity_alpha: float = 0.0,
 ) -> dict[str, RecDataset]:
     """Generate train/val/test `RecDataset`s with planted low-rank structure.
 
     Interactions are sampled from a ground-truth low-rank preference model so
     that learned models can meaningfully beat random ranking in tests.
-    """
+
+    ``popularity_alpha`` > 0 plants a Zipf-like item popularity long tail on
+    top of the low-rank preferences: a random item-rank permutation r with a
+    per-item score bias chosen so the marginal item draw probability scales
+    ~ (r+1)^-alpha — matching the skew real interaction logs exhibit, which
+    the tiny uniform fixtures lack (mid-scale trained-parity regime)."""
     rng = np.random.default_rng(seed)
     u_lat = rng.normal(size=(n_users, latent_dim)).astype(np.float32)
     i_lat = rng.normal(size=(n_items, latent_dim)).astype(np.float32)
     scores = u_lat @ i_lat.T + 0.5 * rng.normal(size=(n_users, n_items))
+    if popularity_alpha > 0.0:
+        ranks = rng.permutation(n_items).astype(np.float32)
+        # flat_p uses exp(scores/2): bias of -2*alpha*ln(r+1) makes the item
+        # factor (r+1)^-alpha in the sampling distribution
+        scores = scores - 2.0 * popularity_alpha * np.log1p(ranks)[None, :]
 
     # draw unique (user, item) pairs biased toward high ground-truth score
     flat_p = np.exp(scores.ravel() / 2.0)
