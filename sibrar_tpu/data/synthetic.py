@@ -240,3 +240,96 @@ def write_reference_artifacts(
                 df.to_csv(
                     os.path.join(out_dir, f"{entity}_features_{split}.csv"), index=False)
     return out_dir
+
+
+def make_onion_scale_splits(
+    n_users: int = 50_000,
+    n_items: int = 100_352,
+    n_interactions: int = 2_000_000,
+    n_clusters: int = 64,
+    seed: int = 7,
+    feature_dims: Optional[dict] = None,
+) -> dict[str, RecDataset]:
+    """North-star-scale synthetic splits (the paper's onion18 regime:
+    `/root/reference/conf/single/dataset_onion18_conf.yml` + README ML-1M
+    smoke-run scale) WITHOUT materializing the [n_users, n_items] score
+    matrix `make_synthetic_splits` uses (20 GB here).
+
+    Structure: items carry a Zipf popularity tail plus a cluster assignment;
+    each user draws half their items from global popularity and half from
+    their own cluster — so popularity models, id-embedding models, AND
+    content models (cluster-correlated vector/tag features) all have signal
+    to learn. Splits are per-user 0.6/0.2/0.2 like the reference's random
+    splitter."""
+    rng = np.random.default_rng(seed)
+    feature_dims = feature_dims or {"ivec256": 256, "bert": 384,
+                                    "musicnn": 128}
+    item_cluster = rng.integers(0, n_clusters, n_items)
+    user_cluster = rng.integers(0, n_clusters, n_users)
+    ranks = rng.permutation(n_items).astype(np.float64)
+    pop = 1.0 / (ranks + 10.0) ** 0.8
+    pop /= pop.sum()
+
+    draws = int(n_interactions * 1.6)
+    users = rng.integers(0, n_users, draws)
+    from_pop = rng.random(draws) < 0.5
+    items = np.empty(draws, np.int64)
+    items[from_pop] = rng.choice(n_items, size=int(from_pop.sum()), p=pop)
+    # cluster draws: uniform member of the user's own cluster, via the
+    # concatenated per-cluster item list (no per-row python)
+    items_by_cluster = [np.where(item_cluster == c)[0]
+                        for c in range(n_clusters)]
+    sizes = np.array([len(x) for x in items_by_cluster])
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    flat_items = np.concatenate(items_by_cluster)
+    cl = user_cluster[users[~from_pop]]
+    within = (rng.random(int((~from_pop).sum())) * sizes[cl]).astype(np.int64)
+    items[~from_pop] = flat_items[offsets[cl] + within]
+
+    pairs = np.unique(np.stack([users, items], axis=1), axis=0)
+    rng.shuffle(pairs)
+    pairs = pairs[:n_interactions]
+    # per-user 0.6/0.2/0.2: order each user's rows randomly, then split by
+    # within-user position (all vectorized)
+    order = np.lexsort((rng.random(len(pairs)), pairs[:, 0]))
+    pairs = pairs[order]
+    _u, starts, counts = np.unique(pairs[:, 0], return_index=True,
+                                   return_counts=True)
+    pos = np.arange(len(pairs)) - np.repeat(starts, counts)
+    cnt = np.repeat(counts, counts)
+    frac = pos / cnt
+    # users with <3 interactions stay train-only
+    bucket = np.where(cnt < 3, 0,
+                      np.where(frac < 0.6, 0, np.where(frac < 0.8, 1, 2)))
+    tr_i = pairs[bucket == 0]
+    va_i = pairs[bucket == 1]
+    te_i = pairs[bucket == 2]
+
+    centers = {name: rng.normal(size=(n_clusters, d)).astype(np.float32)
+               for name, d in feature_dims.items()}
+    item_features = {}
+    for name, d in feature_dims.items():
+        table = (centers[name][item_cluster]
+                 + 0.6 * rng.normal(size=(n_items, d))).astype(np.float32)
+        item_features[name] = Feature.build(
+            FeatureDefinition(name, FeatureType.VECTOR), table, n_items)
+    # genres: the item's cluster tag plus two random tags — content signal
+    # a tag tower can exploit
+    tagv = [f"g{t}" for t in range(n_clusters)]
+    extra = rng.integers(0, n_clusters, (n_items, 2))
+    genre_strings = [
+        "|".join({tagv[item_cluster[i]], tagv[extra[i, 0]], tagv[extra[i, 1]]})
+        for i in range(n_items)]
+    item_features["genres"] = Feature.build(
+        FeatureDefinition("genres", FeatureType.TAG), genre_strings, n_items)
+
+    def mk(split, inter_s):
+        return RecDataset(
+            split_set=split, n_users=n_users, n_items=n_items,
+            interactions=inter_s, train_interactions=tr_i,
+            val_interactions=va_i if split == "test" else None,
+            split_type=DatasetSplitType.RANDOM,
+            user_features={}, item_features=dict(item_features))
+
+    return {"train": mk("train", tr_i), "val": mk("val", va_i),
+            "test": mk("test", te_i)}

@@ -277,30 +277,8 @@ def train_ours_sbnet(artifact_dir: str, seed: int = 0,
     return float(trainer.fit()["val/ndcg@10"])
 
 
-def trained_parity_sbnet(artifact_dir: str, seeds=(0, 1),
-                         hparams: dict = SBNET_HPARAMS) -> dict:
-    ref = [train_reference_sbnet(artifact_dir, seed=s, hparams=hparams)
-           for s in seeds]
-    ours = [train_ours_sbnet(artifact_dir, seed=s, hparams=hparams)
-            for s in seeds]
-    return {
-        "ref": float(np.mean(ref)), "ours": float(np.mean(ours)),
-        "ref_runs": ref, "ours_runs": ours,
-        "delta": float(np.mean(ours) - np.mean(ref)),
-    }
 
 
-def trained_parity_mf(artifact_dir: str, seeds=(0, 1),
-                      hparams: dict = MF_HPARAMS) -> dict:
-    ref = [train_reference_mf(artifact_dir, seed=s, hparams=hparams)
-           for s in seeds]
-    ours = [train_ours_mf(artifact_dir, seed=s, hparams=hparams)
-            for s in seeds]
-    return {
-        "ref": float(np.mean(ref)), "ours": float(np.mean(ours)),
-        "ref_runs": ref, "ours_runs": ours,
-        "delta": float(np.mean(ours) - np.mean(ref)),
-    }
 
 
 # --------------------------------------------------------------- dropoutnet
@@ -399,17 +377,6 @@ def train_ours_dropoutnet(artifact_dir: str, seed: int = 0,
     return float(trainer.fit()["val/ndcg@10"])
 
 
-def trained_parity_dropoutnet(artifact_dir: str, seeds=(0, 1),
-                              hparams: dict = DN_HPARAMS) -> dict:
-    ref = [train_reference_dropoutnet(artifact_dir, seed=s, hparams=hparams)
-           for s in seeds]
-    ours = [train_ours_dropoutnet(artifact_dir, seed=s, hparams=hparams)
-            for s in seeds]
-    return {
-        "ref": float(np.mean(ref)), "ours": float(np.mean(ours)),
-        "ref_runs": ref, "ours_runs": ours,
-        "delta": float(np.mean(ours) - np.mean(ref)),
-    }
 
 
 # ---------------------------------------------------------------------- dmf
@@ -476,17 +443,6 @@ def train_ours_dmf(artifact_dir: str, seed: int = 0,
     return float(trainer.fit()["val/ndcg@10"])
 
 
-def trained_parity_dmf(artifact_dir: str, seeds=(0, 1),
-                       hparams: dict = DMF_HPARAMS) -> dict:
-    ref = [train_reference_dmf(artifact_dir, seed=s, hparams=hparams)
-           for s in seeds]
-    ours = [train_ours_dmf(artifact_dir, seed=s, hparams=hparams)
-            for s in seeds]
-    return {
-        "ref": float(np.mean(ref)), "ours": float(np.mean(ours)),
-        "ref_runs": ref, "ours_runs": ours,
-        "delta": float(np.mean(ours) - np.mean(ref)),
-    }
 
 
 # ------------------------------------------------------- ifeatmf + uprotomf
