@@ -188,8 +188,16 @@ class LearningConfig:
     # to tables with >= sparse_table_min_rows rows; requires optimizer=adam.
     sparse_tables: bool = False
     sparse_table_min_rows: int = 16384
+    # max scanned train steps per jitted program call. Long epochs run as a
+    # sequence of bounded scan programs — remote-execution tunnels and
+    # preemptible runtimes handle many short executions far better than one
+    # multi-thousand-step program (an unchunked 2383-step epoch crashed the
+    # remote TPU worker; chunked runs are clean). None disables chunking.
+    epoch_scan_chunk: Optional[int] = 512
 
     def validate(self) -> None:
+        if self.epoch_scan_chunk is not None and self.epoch_scan_chunk < 1:
+            raise ValueError("epoch_scan_chunk must be >= 1 or null")
         if self.optimizer not in ("adam", "adagrad", "adamw"):
             raise ValueError(f"unsupported optimizer {self.optimizer!r}")
         if self.sparse_tables and self.optimizer != "adam":

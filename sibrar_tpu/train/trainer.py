@@ -160,7 +160,7 @@ class Trainer:
         self.shard_towers = shard_towers
         self.tower_min_rows = tower_min_rows
         self._apply_tower_sharding()
-        self._epoch_fn = None
+        self._epoch_fns: dict = {}  # (n_batches, tail) -> jitted epoch piece
         self.best_params = None
         self.best_batch_stats = None
         self.best_value = -np.inf
@@ -394,12 +394,43 @@ class Trainer:
         if n_batches == 0:  # fewer interactions than one batch: tail only
             n_batches, tail = 1, 0
             self.batch_size = min(self.batch_size, n_inter)
-        if self._epoch_fn is None:
-            self._epoch_fn = self._make_epoch_fn(n_batches, tail)
         perm_key = jax.random.fold_in(self.state.rng, 1000003 + int(self.state.step))
         perm = jax.random.permutation(perm_key, n_inter)
-        self.state, losses = self._epoch_fn(self.state, perm)
-        total, rec, reg = np.asarray(losses)
+        bs = self.batch_size
+        # Long epochs run as a SEQUENCE of bounded scan programs instead of
+        # one epoch-length program: the remote-execution tunnel (and any
+        # preemptible runtime) handles many short executions far better than
+        # a single multi-thousand-step one — an unchunked 2383-step SBNet
+        # epoch reproducibly crashed the axon TPU worker where 5 × ≤512-step
+        # calls of the SAME step function run clean (r5 e2e). One extra
+        # compile for the remainder-length chunk, both cached; numerics are
+        # the same weighted per-step loss mean.
+        chunk = self.learn.epoch_scan_chunk
+        if not chunk or n_batches <= chunk:
+            pieces = [(n_batches, tail)]
+        else:
+            n_full, rem = divmod(n_batches, chunk)
+            pieces = [(chunk, 0)] * n_full
+            if rem or tail:
+                # rem == 0 with a tail yields a (0, tail) piece: a zero-length
+                # scan plus the one partial-batch step, weighted tail/bs
+                pieces.append((rem, tail))
+        state = self.state
+        means, weights, off = [], [], 0
+        for k, t in pieces:
+            fn = self._epoch_fns.get((k, t))
+            if fn is None:
+                fn = self._epoch_fns[(k, t)] = self._make_epoch_fn(k, t)
+            state, m = fn(state, perm[off: off + k * bs + t])
+            means.append(m)
+            weights.append(k + t / bs)
+            off += k * bs
+        self.state = state
+        if len(means) == 1:
+            total, rec, reg = np.asarray(means[0])
+        else:
+            w = np.asarray(weights)[:, None]
+            total, rec, reg = (np.asarray(jnp.stack(means)) * w).sum(0) / w.sum()
         return {"train/loss": float(total), "train/rec_loss": float(rec),
                 "train/reg_loss": float(reg)}
 

@@ -216,3 +216,41 @@ def test_small_dataset_single_partial_batch():
     losses = trainer.train_epoch()
     assert np.isfinite(losses["train/loss"])
     assert int(trainer.state.step) == 1
+
+
+def test_chunked_epoch_matches_single_program(splits):
+    """r5: long epochs run as a sequence of bounded scan programs
+    (`learn.epoch_scan_chunk`). Chunked execution must be step-for-step
+    equivalent to the single-program epoch: same final params, same step
+    count, same weighted loss mean — the chunk boundary only changes where
+    programs end, never what they compute."""
+    import jax
+
+    tr = splits["train"]
+    n_inter = len(tr.interactions)
+    bs = 128
+    n_batches, tail = Trainer.epoch_batch_plan(n_inter, bs, None)
+    assert n_batches >= 5 and tail > 0  # exercise full chunks + rem + tail
+
+    def run(chunk):
+        model = SGDMatrixFactorization(n_users=tr.n_users, n_items=tr.n_items,
+                                       embedding_dim=8)
+        learn = LearningConfig(n_epochs=1, lr=5e-3, rec_loss="bpr",
+                               epoch_scan_chunk=chunk)
+        ev = FullEvaluator(EvalConfig(top_k=[10]), splits["val"],
+                           evaluator_name="val")
+        t = Trainer(model, tr, ev, learn, DatasetConfig(), batch_size=bs,
+                    seed=0)
+        losses = t.train_epoch()
+        return losses, t
+
+    losses_one, t_one = run(None)
+    losses_chunk, t_chunk = run(2)  # pieces: (2,0)*k + (rem, tail)
+    assert len(t_chunk._epoch_fns) >= 2  # chunk fn + remainder fn compiled
+    assert int(t_chunk.state.step) == int(t_one.state.step)
+    np.testing.assert_allclose(losses_chunk["train/loss"],
+                               losses_one["train/loss"], rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-6),
+        t_one.state.params, t_chunk.state.params)
