@@ -17,7 +17,11 @@ from sibrar_tpu.models.layers import InteractionTower, interaction_tower_from
 
 
 def _l2norm(x, eps=1e-8):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+    # zero-safe backward (layers.l2_normalize): zero-interaction entities
+    # reach the cosine as exact-zero tower outputs
+    from sibrar_tpu.models.layers import l2_normalize
+
+    return l2_normalize(x, eps=eps)
 
 
 class DeepMatrixFactorization(RecModel):

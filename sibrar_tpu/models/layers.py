@@ -37,6 +37,24 @@ ACTIVATION_FN_MAP: dict[str, Callable] = {
 }
 
 
+def l2_normalize(x: jax.Array, axis: int = -1,
+                 eps: float = 1e-8) -> jax.Array:
+    """l2-normalize with a zero-safe BACKWARD.
+
+    ``x / max(||x||, eps)`` has a NaN gradient at ``x == 0``: the max guard
+    protects the value, but ``d||x||/dx`` at zero is 0·inf = NaN and the
+    max's zero subgradient multiplies INTO it, not over it. torch defines
+    the norm subgradient at 0 as 0 (so the reference trains through
+    zero-interaction entities); JAX does not. Clamping the SQUARED norm
+    before the rsqrt puts the zero-input case on the constant branch of the
+    max, so the cotangent through the norm is exactly 0 there. Caught by
+    the mid-scale trained-parity harness: DMF's zero-bias towers emit exact
+    zeros for tail items with no train interactions, and every step NaN'd
+    (ndcg 0.0072 vs the reference's 0.0952)."""
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * lax.rsqrt(jnp.maximum(sq, eps * eps))
+
+
 def get_activation_fn(activation_fn):
     if activation_fn is None:
         return None

@@ -29,7 +29,10 @@ from sibrar_tpu.models.layers import Embedding, embedding_init
 
 
 def _l2normalize(x, eps: float = 1e-12):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+    # zero-safe backward (see layers.l2_normalize)
+    from sibrar_tpu.models.layers import l2_normalize
+
+    return l2_normalize(x, eps=eps)
 
 
 def cosine_sim(x, y):

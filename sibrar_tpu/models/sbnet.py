@@ -154,7 +154,12 @@ class SingleBranchNetEntity(RecModel):
 
     def _branch(self, x, train: bool):
         if self.normalize_single_branch_input:
-            x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+            # zero-safe backward (layers.l2_normalize) — a zero-interaction
+            # entity routed to the interactions modality projects to an
+            # exact-zero row when tower biases are zero-initialized
+            from sibrar_tpu.models.layers import l2_normalize
+
+            x = l2_normalize(x, eps=1e-12)
         return self.sb_net(x, train=train)
 
     def _aggregate(self, x):

@@ -16,6 +16,7 @@ around the jitted epoch, exactly like the reference's epoch loop structure.
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 from typing import Any, Callable, Dict, Optional
 
@@ -553,6 +554,7 @@ class Trainer:
 
         patience = 0
         for epoch in range(self.learn.n_epochs):
+            epoch_t0 = time.perf_counter()
             if epoch == 0 and self.profile_dir:
                 # profile the FIRST real epoch instead of running an extra one
                 # before fit() — profiled runs keep the same epoch count and
@@ -561,12 +563,16 @@ class Trainer:
                     train_metrics = self.train_epoch()
             else:
                 train_metrics = self.train_epoch()
+            train_wall = time.perf_counter() - epoch_t0
             metrics = self.validate()
             if self.train_evaluator is not None:
                 train_metrics.update(self.evaluate_on_train())
             if self.post_val_fn is not None:
                 metrics.update(self.post_val_fn(self.state.params, epoch) or {})
-            self.log_fn({"epoch": epoch, **train_metrics, **metrics})
+            self.log_fn({"epoch": epoch, **train_metrics, **metrics,
+                         "train/epoch_wall_s": round(train_wall, 2),
+                         "val/wall_s": round(
+                             time.perf_counter() - epoch_t0 - train_wall, 2)})
             value = metrics.get(key, -np.inf)
             if value > self.best_value:
                 self._maybe_update_best(value, epoch)

@@ -70,3 +70,35 @@ def test_info_nce_pulls_aligned_pairs():
     aligned = float(info_nce(x, x, temperature=0.1))
     shuffled = float(info_nce(x, x[:, ::-1, :], temperature=0.1))
     assert aligned < shuffled
+
+
+def test_l2_normalize_zero_safe_backward():
+    """r5 mid-scale parity catch: `x / max(||x||, eps)` NaNs its BACKWARD at
+    x == 0 (d||x||/dx at zero is 0·inf; the max guard's zero subgradient
+    multiplies into the NaN, not over it) — zero-interaction tail entities
+    emit exact-zero tower outputs and every DMF step NaN'd. torch defines
+    the norm subgradient at 0 as 0; layers.l2_normalize must match."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sibrar_tpu.models.layers import l2_normalize
+
+    x = jnp.stack([jnp.zeros(4), jnp.array([3.0, 0.0, 4.0, 0.0])])
+
+    def f(x):
+        return jnp.sum(l2_normalize(x) * jnp.arange(1.0, 5.0))
+
+    val, grad = jax.value_and_grad(f)(x)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all(), grad
+    # torch's exact backward at zero is cotangent/eps (F.normalize with the
+    # clamp active and the norm subgradient at 0 defined as 0) — finite,
+    # never NaN; verified against torch 2.x in-image
+    np.testing.assert_allclose(np.asarray(grad[0]),
+                               np.arange(1.0, 5.0) * 1e8, rtol=1e-5)
+    # nonzero rows keep the true normalized value and torch's gradient
+    np.testing.assert_allclose(
+        np.asarray(l2_normalize(x)[1]), [0.6, 0.0, 0.8, 0.0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad[1]),
+                               [-0.16, 0.4, 0.12, 0.8], rtol=1e-5)
