@@ -107,7 +107,23 @@ def _make_log_fn(conf: ExperimentConfig, wandb_run):
 
             logging.warning("in_tune requested but ray is not installed")
 
+    import logging
+
+    console = logging.getLogger("sibrar_tpu.train")
+
     def log(d: dict):
+        # always narrate epochs to the console like the reference's trainer
+        # (train/trainer.py:113-117) — a multi-hour run must not be silent
+        head = {k: d[k] for k in ("epoch", "train/loss",
+                                  "train/epoch_wall_s", "val/wall_s")
+                if k in d}
+        opt = conf.learn.optimizing_metric
+        for k in (f"val/{opt}", f"val/{opt}".replace("val/", "train/")):
+            if k in d:
+                head[k] = d[k]
+        console.info("%s", " ".join(
+            f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in head.items()))
         for sink in sinks:
             sink(d)
 
