@@ -823,12 +823,24 @@ def bench_trained_parity_subprocess() -> dict:
     }
     env["JAX_PLATFORMS"] = "cpu"
     here = os.path.dirname(os.path.abspath(__file__))
-    proc = subprocess.run(
+    return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--trained-parity-child"],
-        env=env, cwd=here, capture_output=True, text=True, timeout=3600)
+        env=env, cwd=here, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+
+
+def collect_trained_parity(proc) -> dict:
+    """Join the CPU-pinned parity child started at bench entry — it runs
+    CONCURRENTLY with the TPU benches (pure host CPU + torch; ~28 min on
+    the 1-core box, fully overlapped with the ~45 min of device phases)."""
+    try:
+        out, err = proc.communicate(timeout=3600)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        return {"trained_parity_error": "timeout"}
     if proc.returncode != 0:
-        return {"trained_parity_error": proc.stderr[-500:]}
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+        return {"trained_parity_error": err[-500:]}
+    return json.loads(out.strip().splitlines()[-1])
 
 
 def _trained_parity_child() -> None:
@@ -839,20 +851,31 @@ def _trained_parity_child() -> None:
     from trained_parity import make_midscale_artifacts, trained_parity_stats
 
     n_seeds = int(os.environ.get("SIBRAR_PARITY_SEEDS", "3"))
-    budget_s = float(os.environ.get("SIBRAR_PARITY_BENCH_BUDGET_S", "2100"))
+    budget_s = float(os.environ.get("SIBRAR_PARITY_BENCH_BUDGET_S", "2400"))
     seeds = tuple(range(n_seeds))
     out = {"trained_parity_n_seeds": n_seeds,
-           "trained_parity_scale": "1000x1500x50k midscale"}
+           "trained_parity_scale": "1000x1500x50k midscale",
+           "trained_parity_note": "bench runs ~60% of the study epoch "
+           "budget per family to bound wall time; the full-epoch 5-seed "
+           "study is docs/parity.md"}
+    # measured per-seed-pair walls at FULL study epochs (1-core box): mf
+    # ~350 s, sbnet ~560 s, dropoutnet ~450 s, dmf ~335 s — dominated by
+    # the reference's per-row __getitem__ loop (45%), which is the thing
+    # being validated. Bench trims epochs to fit the budget; the paired
+    # protocol stays identical on both sides.
+    bench_epochs = {"mf": 12, "sbnet": 6, "dropoutnet": 6, "dmf": 6}
     started = time.perf_counter()
     with tempfile.TemporaryDirectory() as td:
         make_midscale_artifacts(td)
-        # measured per-seed-pair walls (1-core box): mf ~105 s,
-        # sbnet ~135 s, dropoutnet ~105 s, dmf ~90 s
         for fam in ("mf", "sbnet", "dropoutnet", "dmf"):
             if time.perf_counter() - started > budget_s:
                 out["trained_parity_budget_exhausted_before"] = fam
                 break
-            r = trained_parity_stats(fam, td, seeds=seeds)
+            t_fam = time.perf_counter()
+            r = trained_parity_stats(fam, td, seeds=seeds,
+                                     hparams={"epochs": bench_epochs[fam]})
+            out[f"trained_parity_{fam}_wall_s"] = round(
+                time.perf_counter() - t_fam, 1)
             out.update({
                 f"trained_parity_{fam}_ref_mean": round(r["ref_mean"], 4),
                 f"trained_parity_{fam}_ref_std": round(r["ref_std"], 4),
@@ -868,9 +891,10 @@ def main():
     from sibrar_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # start the CPU-pinned trained-parity child FIRST: it overlaps the
+    # entire TPU phase and is joined right before printing
+    trained_proc = bench_trained_parity_subprocess()
     parity = bench_parity_subprocess()
-    trained = bench_trained_parity_subprocess()
-    parity.update(trained)
     ours, eval_ms = bench_jax()
     fused = bench_jax_fused()
     large = bench_jax_large()
@@ -882,6 +906,7 @@ def main():
     mf_sps, mf_ms = bench_train_mf_sparse()
     base = bench_torch()
     base_train = bench_train_torch()
+    parity.update(collect_trained_parity(trained_proc))
     extras = {
         "eval_ms_per_step": round(eval_ms, 3),
         "fused_items_per_sec": round(fused),
