@@ -17,14 +17,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np  # noqa: E402
-
 from sibrar_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 
 
 def main():
@@ -33,8 +30,8 @@ def main():
     art = os.environ.get("SIBRAR_E2E_ONION_DIR", "/tmp/sibrar_e2e_onion")
 
     from sibrar_tpu.config.loader import get_config
-    from sibrar_tpu.data.dataset import RecDataset
     from sibrar_tpu.eval.evaluator import FullEvaluator
+    from sibrar_tpu.experiment import _load_split
     from sibrar_tpu.models.registry import get_algorithm
     from sibrar_tpu.train.trainer import Trainer
 
@@ -54,10 +51,8 @@ def main():
             "learn.epoch_scan_chunk": chunk,
             "learn.max_batches_per_epoch": chunk,
         })
-    tr = RecDataset.load(art, "train",
-                         item_feature_definitions=conf.dataset.item_features)
-    va = RecDataset.load(art, "val",
-                         item_feature_definitions=conf.dataset.item_features)
+    tr = _load_split(conf, "train")
+    va = _load_split(conf, "val")
     dd = tr.to_device()
     spec = get_algorithm("sbnet")
     model = spec.build(conf.model, tr, dd)
