@@ -61,6 +61,11 @@ class DeviceCSR:
 # last resort.
 _SEG_GATHER_MAX_BYTES = 4 * 1024 * 1024
 
+# VMEM budget for the HBM-DMA segment gather's scratch (gb aligned row
+# windows) plus out block; rows longer than ~a quarter-million columns fall
+# back to the XLA element gather
+_SEG_GATHER_DMA_MAX_VMEM = 8 * 1024 * 1024
+
 # Budget for a CSR's padded-row materialization (per CSR). 64 MB covers
 # Onion-scale interaction CSRs (100k rows × 128-lane-padded histories at
 # 51 MB); million-row × multi-k-history CSRs fall back to the element
@@ -167,6 +172,78 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def _seg_gather_dma_kernel(st_ref, flat_hbm, o_ref, scratch, sems, *,
+                           gb: int, width: int, l_out: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # start all row-window DMAs for the group, then drain: per row, one
+    # 128-aligned [1, width] HBM→VMEM copy overlapping the others' issue.
+    # The scratch is ONE [1, gb*width] lane row — Mosaic rejects sublane
+    # slices of an (8,128)-tiled buffer that aren't 8-aligned ("slice shape
+    # along dimension 0 must be aligned to tiling (8), but is 1"), so each
+    # row's slot is a 128-aligned LANE range of the single sublane instead
+    dmas = []
+    for bb in range(gb):
+        s = st_ref[bb, 0]
+        base = pl.multiple_of((s // 128) * 128, 128)
+        d = pltpu.make_async_copy(
+            flat_hbm.at[:, pl.ds(base, width)],
+            scratch.at[:, bb * width:(bb + 1) * width],
+            sems.at[bb])
+        d.start()
+        dmas.append((d, s))
+    for bb, (d, s) in enumerate(dmas):
+        d.wait()
+        rolled = pltpu.roll(scratch[:, bb * width:(bb + 1) * width],
+                            -(s % 128), 1)
+        o_ref[bb:bb + 1, :] = rolled[:, :l_out]
+
+
+@partial(jax.jit, static_argnames=("l_out", "width", "gb", "interpret"))
+def _segment_gather_dma(flat: jax.Array, starts: jax.Array, l_out: int,
+                        width: int, gb: int = 8, interpret: bool = False
+                        ) -> jax.Array:
+    """`_segment_gather` for flat arrays PAST the VMEM cap: the indices stay
+    in HBM (`pltpu.ANY`) and each row issues one aligned [1, width] async
+    DMA into a VMEM scratch slot, then lane-rolls exactly like the in-VMEM
+    kernel. Found by the r5 north-star profile: the e2e item CSR (1.22M nnz,
+    max_row_len 2205 — popularity skew) missed the 4 MB in-VMEM gate AND the
+    64 MB cols_pad budget, fell into the XLA element gather, and that single
+    gather was 42.7 of the 52.5 ms train step (81%)."""
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = starts.shape[0]
+    bp = -(-b // gb) * gb
+    if bp != b:
+        starts = jnp.pad(starts, (0, bp - b))
+    n = flat.shape[0]
+    n_pad = -(-(n + width) // 128) * 128
+    flat2 = jnp.pad(flat, (0, n_pad - n)).reshape(1, n_pad)
+    kernel = ft.partial(_seg_gather_dma_kernel, gb=gb, width=width,
+                        l_out=l_out)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((gb, l_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, l_out), flat.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, gb * width), flat.dtype),
+            pltpu.SemaphoreType.DMA((gb,)),
+        ],
+        interpret=interpret,
+    )(starts.astype(jnp.int32).reshape(-1, 1), flat2)
+    return out[:b]
+
+
 def csr_row_gather(csr: DeviceCSR, rows: jax.Array,
                    interpret: bool = False) -> tuple[jax.Array, jax.Array]:
     """Gather the (padded) column indices of `rows`.
@@ -198,14 +275,25 @@ def csr_row_gather(csr: DeviceCSR, rows: jax.Array,
         cols, mask = csr_row_gather(csr, rows.reshape(-1), interpret)
         return (cols.reshape(*rows.shape, l_out),
                 mask.reshape(*rows.shape, l_out))
+    on_tpu = interpret or jax.default_backend() == "tpu"
     use_seg = (rows.ndim == 1 and csr.nnz * 4 <= _SEG_GATHER_MAX_BYTES
-               and (interpret or jax.default_backend() == "tpu"))
+               and on_tpu)
     starts = csr.indptr[rows]  # [...]
     ends = csr.indptr[rows + 1]
+    width = _next_pow2(l_out + 127)
     if use_seg:
-        width = _next_pow2(l_out + 127)
         seg = _segment_gather(csr.indices, starts, l_out, width,
                               interpret=interpret)
+        mask = jnp.arange(l_out, dtype=jnp.int32)[None, :] < (ends - starts)[:, None]
+        return jnp.where(mask, seg, 0), mask
+    if (rows.ndim == 1 and on_tpu
+            and 8 * (width + l_out) * 4 <= _SEG_GATHER_DMA_MAX_VMEM):
+        # indices past the VMEM cap: per-row async DMA from HBM (r5 —
+        # popularity-skewed CSRs blow BOTH the in-VMEM gate and the
+        # cols_pad budget, and the XLA element gather below costs ~8.6 ns
+        # per element: 42.7 ms/step on the north-star item tower)
+        seg = _segment_gather_dma(csr.indices, starts, l_out, width,
+                                  interpret=interpret)
         mask = jnp.arange(l_out, dtype=jnp.int32)[None, :] < (ends - starts)[:, None]
         return jnp.where(mask, seg, 0), mask
     offs = jnp.arange(l_out, dtype=jnp.int32)  # [L]

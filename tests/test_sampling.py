@@ -147,3 +147,31 @@ def test_segment_gather_matches_element_gather():
         np.asarray(seg2_cols), np.asarray(ref_cols).reshape(4, 6, -1))
     np.testing.assert_array_equal(
         np.asarray(seg2_mask), np.asarray(ref_mask).reshape(4, 6, -1))
+
+
+def test_segment_gather_dma_matches_element_gather():
+    """r5: CSRs whose flat indices exceed the in-VMEM cap ride the HBM-DMA
+    segment gather (per-row aligned async copy + lane roll). Must agree
+    with the XLA element gather for ragged rows incl. empty ones and rows
+    longer than one 128-lane window."""
+    from sibrar_tpu.ops import sparse as sp_ops
+
+    rng = np.random.default_rng(6)
+    n_rows, n_cols = 30, 900
+    mat = sp.random(n_rows, n_cols, density=0.4, random_state=4, format="csr")
+    mat.data[:] = 1
+    mat[11] = 0
+    mat.eliminate_zeros()
+    csr = sp_ops.DeviceCSR.from_scipy(mat)
+    rows = jnp.asarray(rng.integers(0, n_rows, size=17), jnp.int32)
+
+    ref_cols, ref_mask = sp_ops.csr_row_gather(csr, rows)  # CPU element path
+    orig = sp_ops._SEG_GATHER_MAX_BYTES
+    try:
+        # force PAST the in-VMEM gate so interpret takes the DMA kernel
+        sp_ops._SEG_GATHER_MAX_BYTES = 0
+        dma_cols, dma_mask = sp_ops.csr_row_gather(csr, rows, interpret=True)
+    finally:
+        sp_ops._SEG_GATHER_MAX_BYTES = orig
+    np.testing.assert_array_equal(np.asarray(dma_cols), np.asarray(ref_cols))
+    np.testing.assert_array_equal(np.asarray(dma_mask), np.asarray(ref_mask))

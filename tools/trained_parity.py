@@ -872,6 +872,11 @@ MIDSCALE_HPARAMS = {
     "sbnet": dict(epochs=10, batch_size=256),
     "dropoutnet": dict(epochs=10, batch_size=256),
     "dmf": dict(epochs=10, batch_size=256),
+    "ifeatmf": dict(epochs=10, batch_size=256, embedding_dim=32),
+    "ufeatmf": dict(epochs=10, batch_size=256, embedding_dim=32),
+    "uprotomf": dict(epochs=10, batch_size=256, embedding_dim=32,
+                     n_prototypes=16),
+    "ecf": dict(epochs=10, batch_size=256, embedding_dim=32),
 }
 
 
